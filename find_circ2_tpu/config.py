@@ -1,0 +1,101 @@
+"""Frozen pipeline configuration.
+
+Every behavioral constant of the engine lives here so the CPU oracle, the
+single-chip JAX path, and the sharded path share one source of truth.
+See SPEC.md §0 for the meaning of each field and SURVEY.md §2-§3 for the
+reconstructed reference behavior they implement (the upstream reference
+mount is empty; SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # SPEC.md §0
+    anchor_len: int = 20          # `a`: terminal anchor length (SURVEY §3.2)
+    seed_len: int = 10            # `k`: seed k-mer length; 2*k must equal a
+    max_anchor_mm: int = 1        # A_MM: max mismatches for an aligned anchor
+    max_bucket: int = 64          # repetitive-seed guard (SPEC §2)
+    max_read_len: int = 160       # L_max: device padding length
+    chrom_gap: int = 512          # sentinel padding around chromosomes
+    min_uniq_qual: int = 10       # unique-anchor qual threshold
+    prefilter_mm: int = 2         # pass-1 contiguous filter threshold
+    max_span: int = 100_000       # default --filter / maxlength guard
+    # Host/device batching.
+    batch_size: int = 4096        # reads per device batch
+    # Library strandedness: None => unstranded => strandmatch "NA".
+    stranded: bool = False
+
+    def __post_init__(self) -> None:
+        if 2 * self.seed_len != self.anchor_len:
+            raise ValueError("seed_len must be anchor_len/2 (SPEC.md §2)")
+        if self.max_read_len < 2 * self.anchor_len:
+            raise ValueError("max_read_len must be >= 2*anchor_len")
+        if self.chrom_gap < self.max_read_len + 2:
+            raise ValueError("chrom_gap must exceed max_read_len+2")
+
+
+DEFAULT = Config()
+
+# Base codes (SPEC.md §0). Codes >= N never match anything, including
+# themselves, and invalidate k-mers.
+A, C, G, T, N = 0, 1, 2, 3, 4
+GAP_CODE = 5      # genome sentinel padding
+RPAD_CODE = 6     # read padding on device
+
+# Skip-reason / status codes shared by oracle, device path and stats.
+ST_JUNCTION = 0           # read supports a junction (linear or circular)
+ST_TOO_SHORT = 1          # len < 2*anchor_len
+ST_TOO_LONG = 2           # len > max_read_len
+ST_PREFILTERED = 3        # contiguous alignment found (pass-1 filter)
+ST_UNALIGNED_A = 4        # 5' anchor has no hit with mm <= A_MM
+ST_UNALIGNED_B = 5        # 3' anchor has no hit with mm <= A_MM
+ST_DIFF_STRAND = 6        # best hits on different strands
+ST_DIFF_CHROM = 7         # best hits on different chromosomes
+ST_ANCHOR_OVERLAP = 8     # anchors overlap on the genome: neither geometry
+ST_NO_JUNCTION = 9        # linear candidate with end <= start
+N_STATUS = 10
+
+STATUS_NAMES = {
+    ST_JUNCTION: "junction_reads",
+    ST_TOO_SHORT: "too_short",
+    ST_TOO_LONG: "too_long",
+    ST_PREFILTERED: "prefiltered_contiguous",
+    ST_UNALIGNED_A: "anchor_A_unaligned",
+    ST_UNALIGNED_B: "anchor_B_unaligned",
+    ST_DIFF_STRAND: "different_strand",
+    ST_DIFF_CHROM: "different_chrom",
+    ST_ANCHOR_OVERLAP: "anchors_overlap",
+    ST_NO_JUNCTION: "no_junction",
+}
+
+# Junction kinds.
+KIND_LINEAR = 0
+KIND_CIRCULAR = 1
+
+# Senses.
+SENSE_PLUS = 0
+SENSE_MINUS = 1
+SENSE_CHARS = {SENSE_PLUS: "+", SENSE_MINUS: "-"}
+
+# Category flag order (SPEC.md §5). The `category` column joins the
+# applicable subset with commas, in this order.
+FLAG_ORDER = (
+    "CIRCULAR",
+    "LINEAR",
+    "UNAMBIGUOUS_BP",
+    "ANCHOR_UNIQUE",
+    "NO_UNIQ_BRIDGES",
+    "CANONICAL",
+    "STRANDMATCH",
+)
+
+BED_COLUMNS = (
+    "chrom", "start", "end", "name", "n_reads", "strand", "n_uniq",
+    "uniq_bridges", "best_qual_left", "best_qual_right", "tissues",
+    "tiss_counts", "edits", "anchor_overlap", "breakpoints", "signal",
+    "strandmatch", "category",
+)

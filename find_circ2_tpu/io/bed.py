@@ -1,0 +1,96 @@
+"""Junction BED table: the bit-exactness output contract.
+
+Column set and semantics follow SURVEY.md §2.3; ordering, naming and flag
+composition are frozen in SPEC.md §5. `JunctionRow` is the single row type
+used by the writer, `merge_bed`, `cmp_bed` and tests.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from dataclasses import dataclass, replace
+from collections.abc import Iterable, Iterator
+
+from find_circ2_tpu.config import BED_COLUMNS
+
+HEADER = "#" + "\t".join(BED_COLUMNS)
+
+
+@dataclass
+class JunctionRow:
+    chrom: str
+    start: int            # 0-based, leftmost splice coordinate
+    end: int              # rightmost splice coordinate (half-open)
+    name: str
+    n_reads: int
+    strand: str           # '+', '-' (junction splice sense)
+    n_uniq: int
+    uniq_bridges: int
+    best_qual_left: int
+    best_qual_right: int
+    tissues: str          # comma-separated sample names
+    tiss_counts: str      # comma-separated per-sample read counts
+    edits: int
+    anchor_overlap: int
+    breakpoints: int
+    signal: str           # donor+acceptor dinucs in splice orientation
+    strandmatch: str      # NA / MATCH / MISMATCH / PARTIAL
+    category: str         # comma-joined flags, FLAG_ORDER order
+
+    def to_line(self) -> str:
+        return "\t".join(str(getattr(self, c)) for c in BED_COLUMNS)
+
+    @classmethod
+    def from_line(cls, line: str) -> "JunctionRow":
+        f = line.rstrip("\n").split("\t")
+        if len(f) != len(BED_COLUMNS):
+            raise ValueError(f"bad junction row ({len(f)} columns): {line!r}")
+        ints = {"start", "end", "n_reads", "n_uniq", "uniq_bridges",
+                "best_qual_left", "best_qual_right", "edits",
+                "anchor_overlap", "breakpoints"}
+        kw = {c: (int(v) if c in ints else v)
+              for c, v in zip(BED_COLUMNS, f)}
+        return cls(**kw)
+
+    def key(self) -> tuple:
+        """Identity of the junction irrespective of per-run fields."""
+        return (self.chrom, self.start, self.end, self.strand)
+
+
+def write_bed(fh_or_path, rows: Iterable[JunctionRow],
+              header: bool = True) -> None:
+    own = isinstance(fh_or_path, (str, os.PathLike))
+    fh = open(fh_or_path, "wt", encoding="ascii") if own else fh_or_path
+    try:
+        if header:
+            fh.write(HEADER + "\n")
+        for row in rows:
+            fh.write(row.to_line() + "\n")
+    finally:
+        if own:
+            fh.close()
+
+
+def read_bed(path) -> Iterator[JunctionRow]:
+    with open(path, "rt", encoding="ascii") as fh:
+        for line in fh:
+            if not line.strip() or line.startswith("#"):
+                continue
+            yield JunctionRow.from_line(line)
+
+
+def renumber(rows: list[JunctionRow], prefix: str) -> list[JunctionRow]:
+    """Sort rows by (chrom,start,end,strand) and assign frozen names.
+
+    Circular rows get `<prefix>circ_<i:06d>`, linear `<prefix>norm_<i:06d>`
+    (SPEC.md §5); the kind is read from the category flags.
+    """
+    rows = sorted(rows, key=JunctionRow.key)
+    out = []
+    counters = {"circ": 0, "norm": 0}
+    for row in rows:
+        kind = "circ" if "CIRCULAR" in row.category.split(",") else "norm"
+        counters[kind] += 1
+        out.append(replace(row, name=f"{prefix}{kind}_{counters[kind]:06d}"))
+    return out

@@ -1,0 +1,267 @@
+"""CPU oracle: per-read reference implementation of the frozen algorithm.
+
+This is the semantics ground truth (SURVEY.md §0 consequence 3, §7 step 2):
+a plain numpy implementation of SPEC.md §2-§4 / SURVEY.md §3.3, deliberately
+written as per-candidate loops (the breakpoint search recomputes Hamming
+distance per split, O(L²) exactly as the reference does) so that the
+vectorized prefix-sum TPU path in ops/ is cross-checked against an
+independent formulation. Golden test fixtures are generated from this
+module.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from find_circ2_tpu.config import (
+    Config,
+    KIND_CIRCULAR,
+    KIND_LINEAR,
+    SENSE_MINUS,
+    SENSE_PLUS,
+    ST_ANCHOR_OVERLAP,
+    ST_DIFF_CHROM,
+    ST_DIFF_STRAND,
+    ST_JUNCTION,
+    ST_NO_JUNCTION,
+    ST_PREFILTERED,
+    ST_TOO_LONG,
+    ST_TOO_SHORT,
+    ST_UNALIGNED_A,
+    ST_UNALIGNED_B,
+)
+from find_circ2_tpu.index.build import SeedIndex
+from find_circ2_tpu.io.genome import Genome
+from find_circ2_tpu.io.twobit import REVCOMP_LUT, codes_to_seq, seq_to_codes
+
+
+@dataclass
+class AnchorHit:
+    aligned: bool
+    pos: int = 0          # global anchor start
+    strand: int = 0       # 0='+', 1='-'
+    mm: int = 0
+    n_best: int = 0
+    second_mm: int = 0
+    qual: int = 0
+
+
+@dataclass
+class ReadCall:
+    """Per-read outcome; the unit compared between oracle and TPU path."""
+    name: str
+    seq: str
+    status: int
+    kind: int = 0             # KIND_LINEAR / KIND_CIRCULAR
+    chrom_idx: int = -1
+    start: int = 0            # global coordinates (convert via Genome)
+    end: int = 0
+    sense: int = 0            # SENSE_PLUS / SENSE_MINUS
+    align_strand: int = 0     # strand both anchors aligned to
+    edits: int = 0
+    n_bp: int = 0             # breakpoint ambiguity count
+    overlap: int = 0
+    qual_left: int = 0
+    qual_right: int = 0
+    signal: str = ""
+
+
+def _hamming(a: np.ndarray, b: np.ndarray) -> int:
+    """Mismatch count; any code >= 4 on either side mismatches (SPEC §0)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    return int(np.sum((a != b) | (a >= 4) | (b >= 4)))
+
+
+def _kmer(codes: np.ndarray, k: int) -> int | None:
+    if np.any(codes >= 4):
+        return None
+    v = 0
+    for c in codes[:k]:
+        v = v * 4 + int(c)
+    return v
+
+
+def align_anchor(genome: Genome, index: SeedIndex, anchor: np.ndarray,
+                 cfg: Config) -> AnchorHit:
+    """SPEC.md §2: exact two-half-seed lookup + Hamming verification."""
+    a, k = cfg.anchor_len, cfg.seed_len
+    G = genome.codes
+    cands: list[tuple[int, int, int]] = []  # (mm, strand, pos)
+    for strand in (0, 1):
+        q = anchor if strand == 0 else REVCOMP_LUT[anchor[::-1]]
+        for seed_i, off in ((0, 0), (1, k)):
+            kv = _kmer(q[off:off + k], k)
+            if kv is None:
+                continue
+            bucket = index.bucket(kv)
+            if bucket.size > cfg.max_bucket:
+                continue  # repetitive-seed guard [FROZEN]
+            for wstart in bucket:
+                p = int(wstart) - off
+                window = G[p:p + a]
+                if np.any(window >= 4):
+                    continue  # [FROZEN] no alignment across N/gaps
+                mm_lo = _hamming(q[:k], window[:k])
+                if seed_i == 1 and mm_lo == 0:
+                    continue  # dedup rule [FROZEN]: seed0 owns this hit
+                mm = mm_lo + _hamming(q[k:], window[k:])
+                cands.append((mm, strand, p))
+    if not cands:
+        return AnchorHit(aligned=False)
+    cands.sort()
+    best_mm, strand, pos = cands[0]
+    n_best = sum(1 for c in cands if c[0] == best_mm)
+    second_mm = cands[1][0] if len(cands) > 1 else a + 1
+    qual = 0 if n_best > 1 else min(40, 10 * (second_mm - best_mm))
+    return AnchorHit(aligned=best_mm <= cfg.max_anchor_mm, pos=pos,
+                     strand=strand, mm=best_mm, n_best=n_best,
+                     second_mm=second_mm, qual=qual)
+
+
+def _contiguous(genome: Genome, R: np.ndarray, Rrc: np.ndarray,
+                hit: AnchorHit, side: str, cfg: Config) -> bool:
+    """SPEC.md §6 pass-1 contiguous extension for one anchor hit."""
+    if not hit.aligned:
+        return False
+    G, l, a, p = genome.codes, len(R), cfg.anchor_len, hit.pos
+    if side == "A":
+        seg, query = ((G[p:p + l], R) if hit.strand == 0
+                      else (G[p + a - l:p + a], Rrc))
+    else:
+        seg, query = ((G[p + a - l:p + a], R) if hit.strand == 0
+                      else (G[p:p + l], Rrc))
+    if seg.size != l:
+        return False
+    return _hamming(query, seg) <= cfg.prefilter_mm
+
+
+_CANON = {  # (kind, sense) -> (left_dinuc, right_dinuc) genome-forward
+    (KIND_LINEAR, SENSE_PLUS): ("GT", "AG"),
+    (KIND_LINEAR, SENSE_MINUS): ("CT", "AC"),
+    (KIND_CIRCULAR, SENSE_PLUS): ("AG", "GT"),
+    (KIND_CIRCULAR, SENSE_MINUS): ("AC", "CT"),
+}
+
+
+def _junction_coords(kind: int, pA: int, endB: int, l: int, bp: int
+                     ) -> tuple[int, int]:
+    donor = pA + bp
+    acceptor = endB - (l - bp)
+    if kind == KIND_LINEAR:
+        return donor, acceptor
+    return acceptor, donor
+
+
+def _dinucs(G: np.ndarray, kind: int, start: int, end: int
+            ) -> tuple[str, str]:
+    """Genome-forward dinucleotides at the junction edges (SPEC §4)."""
+    if kind == KIND_LINEAR:
+        left = codes_to_seq(G[start:start + 2])
+        right = codes_to_seq(G[end - 2:end])
+    else:
+        left = codes_to_seq(G[start - 2:start])
+        right = codes_to_seq(G[end:end + 2])
+    return left, right
+
+
+def _canonical(G, kind, start, end, sense) -> bool:
+    want = _CANON[(kind, sense)]
+    return _dinucs(G, kind, start, end) == want
+
+
+def _sense_signal(G, kind, start, end, align_strand) -> tuple[int, str]:
+    """Chosen sense and the signal string in splice orientation (SPEC §4)."""
+    if _canonical(G, kind, start, end, SENSE_PLUS):
+        sense = SENSE_PLUS
+    elif _canonical(G, kind, start, end, SENSE_MINUS):
+        sense = SENSE_MINUS
+    else:
+        sense = align_strand
+    left, right = _dinucs(G, kind, start, end)
+    if kind == KIND_LINEAR:
+        donor_fwd, acc_fwd = left, right
+    else:
+        donor_fwd, acc_fwd = right, left
+    if sense == SENSE_PLUS:
+        signal = donor_fwd + acc_fwd
+    else:
+        # Splice-sense orientation: revcomp and swap roles.
+        from find_circ2_tpu.io.twobit import revcomp_seq
+        signal = revcomp_seq(acc_fwd) + revcomp_seq(donor_fwd)
+    return sense, signal
+
+
+def call_read(genome: Genome, index: SeedIndex, name: str, seq: str,
+              cfg: Config, prefilter: bool = True) -> ReadCall:
+    """Full per-read pipeline: SPEC.md §2-§4, SURVEY.md §3.3 call stack."""
+    l = len(seq)
+    a = cfg.anchor_len
+    if l < 2 * a:
+        return ReadCall(name, seq, ST_TOO_SHORT)
+    if l > cfg.max_read_len:
+        return ReadCall(name, seq, ST_TOO_LONG)
+    codes = seq_to_codes(seq)
+    codes_rc = REVCOMP_LUT[codes[::-1]]
+    hitA = align_anchor(genome, index, codes[:a], cfg)
+    hitB = align_anchor(genome, index, codes[-a:], cfg)
+    if prefilter and (_contiguous(genome, codes, codes_rc, hitA, "A", cfg)
+                      or _contiguous(genome, codes, codes_rc, hitB, "B", cfg)):
+        return ReadCall(name, seq, ST_PREFILTERED)
+    if not hitA.aligned:
+        return ReadCall(name, seq, ST_UNALIGNED_A)
+    if not hitB.aligned:
+        return ReadCall(name, seq, ST_UNALIGNED_B)
+    if hitA.strand != hitB.strand:
+        return ReadCall(name, seq, ST_DIFF_STRAND)
+    chromA = int(genome.chrom_of(hitA.pos))
+    chromB = int(genome.chrom_of(hitB.pos))
+    if chromA != chromB:
+        return ReadCall(name, seq, ST_DIFF_CHROM)
+    s = hitA.strand
+    if s == 0:
+        R, pA, pB = codes, hitA.pos, hitB.pos
+        qual_left, qual_right = hitA.qual, hitB.qual
+    else:
+        # Strand canonicalization [FROZEN], SPEC §3.
+        R, pA, pB = codes_rc, hitB.pos, hitA.pos
+        qual_left, qual_right = hitB.qual, hitA.qual
+    endB = pB + a
+    if pA + a <= pB:
+        kind = KIND_LINEAR
+    elif endB <= pA:
+        kind = KIND_CIRCULAR
+    else:
+        return ReadCall(name, seq, ST_ANCHOR_OVERLAP)
+    G = genome.codes
+    # Breakpoint search, naive per-split recomputation (SURVEY §3.3).
+    scores = {}
+    for bp in range(a, l - a + 1):
+        mmL = _hamming(R[:bp], G[pA:pA + bp])
+        mmR = _hamming(R[bp:], G[endB - (l - bp):endB])
+        scores[bp] = mmL + mmR
+    edits = min(scores.values())
+    argmin = [bp for bp, sc in scores.items() if sc == edits]
+    n_bp = len(argmin)
+    # Tie-break [FROZEN]: prefer canonical '+', then canonical '-', then
+    # smallest split.
+    def tiekey(bp: int):
+        st, en = _junction_coords(kind, pA, endB, l, bp)
+        return (not _canonical(G, kind, st, en, SENSE_PLUS),
+                not _canonical(G, kind, st, en, SENSE_MINUS), bp)
+    best_bp = min(argmin, key=tiekey)
+    start, end = _junction_coords(kind, pA, endB, l, best_bp)
+    if kind == KIND_LINEAR and end <= start:
+        return ReadCall(name, seq, ST_NO_JUNCTION)
+    sense, signal = _sense_signal(G, kind, start, end, s)
+    seg1 = (pA, pA + best_bp)
+    seg2 = (endB - (l - best_bp), endB)
+    overlap = max(0, min(seg1[1], seg2[1]) - max(seg1[0], seg2[0]))
+    return ReadCall(
+        name=name, seq=seq, status=ST_JUNCTION, kind=kind,
+        chrom_idx=chromA, start=start, end=end, sense=sense,
+        align_strand=s, edits=edits, n_bp=n_bp, overlap=overlap,
+        qual_left=qual_left, qual_right=qual_right, signal=signal,
+    )

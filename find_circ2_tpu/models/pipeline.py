@@ -1,0 +1,236 @@
+"""Single-chip device pipeline: the jitted anchor+breakpoint step.
+
+This is the TPU counterpart of the oracle's `call_read` (SURVEY.md §3.3
+call stack), batched and fully static-shaped: K1 (ops/anchor_align) feeds
+pair canonicalization, the pass-1 contiguous prefilter (SPEC.md §6), and
+K2 (ops/breakpoint). Host code (`run_reads`) buckets/pads reads, streams
+batches through the jitted step, and feeds the shared Aggregator — so the
+CPU oracle and this path produce byte-identical BED tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from find_circ2_tpu.config import (
+    RPAD_CODE,
+    Config,
+    KIND_CIRCULAR,
+    KIND_LINEAR,
+    ST_ANCHOR_OVERLAP,
+    ST_DIFF_CHROM,
+    ST_DIFF_STRAND,
+    ST_JUNCTION,
+    ST_NO_JUNCTION,
+    ST_PREFILTERED,
+    ST_TOO_LONG,
+    ST_TOO_SHORT,
+    ST_UNALIGNED_A,
+    ST_UNALIGNED_B,
+)
+from find_circ2_tpu.index.build import SeedIndex, build_index
+from find_circ2_tpu.io.genome import Genome
+from find_circ2_tpu.io.twobit import codes_to_seq, seq_to_codes
+from find_circ2_tpu.models.oracle import ReadCall
+from find_circ2_tpu.ops.anchor_align import align_anchors
+from find_circ2_tpu.ops.breakpoint import breakpoint_search
+
+
+@dataclass(frozen=True)
+class DeviceIndex:
+    """Genome + seed index as device arrays."""
+    genome: jax.Array         # uint8 [G]
+    offsets: jax.Array        # int32 [4^k + 1]
+    positions: jax.Array      # int32 [P]
+    chrom_offsets: jax.Array  # int32 [n_chroms]
+
+    @classmethod
+    def build(cls, genome: Genome, index: SeedIndex | None = None,
+              cfg: Config = Config()) -> "DeviceIndex":
+        if index is None:
+            index = build_index(genome, cfg)
+        if len(genome) >= 2 ** 31:
+            raise ValueError("single-shard genome must fit int32 positions; "
+                             "use the sharded path (parallel/)")
+        return cls(
+            genome=jnp.asarray(genome.codes),
+            offsets=jnp.asarray(index.offsets.astype(np.int64)
+                                .astype(np.int32)),
+            positions=jnp.asarray(index.positions.astype(np.int64)
+                                  .astype(np.int32)),
+            chrom_offsets=jnp.asarray(
+                genome.chrom_offsets.astype(np.int32)),
+        )
+
+
+def _full_read_mm(genome: jnp.ndarray, query: jnp.ndarray,
+                  start: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+    """Hamming(query[:l], genome[start:start+l]) per row (SPEC.md §6)."""
+    B, Lp = query.shape
+    G = genome.shape[0]
+    pos = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(start[:, None] + pos, 0, G - 1)
+    win = jnp.take(genome, idx, axis=0).astype(jnp.int32)
+    q = query.astype(jnp.int32)
+    neq = ((q != win) | (q >= 4) | (win >= 4)) & (pos < lens[:, None])
+    return jnp.sum(neq, axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "prefilter"))
+def detect_batch(
+    genome: jnp.ndarray,
+    offsets: jnp.ndarray,
+    positions: jnp.ndarray,
+    chrom_offsets: jnp.ndarray,
+    reads: jnp.ndarray,        # uint8 [B, Lp], RPAD-padded
+    lens: jnp.ndarray,         # int32 [B]; rows with lens==0 are padding
+    cfg: Config,
+    prefilter: bool = True,
+):
+    """Full per-batch detection step; returns per-read field arrays.
+
+    Row status follows the oracle's priority order exactly [FROZEN]:
+    prefiltered > unaligned_A > unaligned_B > diff_strand > diff_chrom >
+    anchors_overlap > no_junction > junction.
+    """
+    B, Lp = reads.shape
+    a = cfg.anchor_len
+    pos_ax = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+
+    # Anchors: A = first a bases; B = last a bases (per true length).
+    anchors_a = reads[:, :a]
+    idxb = jnp.clip(lens[:, None] - a, 0, Lp - a) + jnp.arange(a)[None, :]
+    anchors_b = jnp.take_along_axis(reads, idxb, axis=1)
+
+    hits_a = align_anchors(genome, offsets, positions, anchors_a, cfg)
+    hits_b = align_anchors(genome, offsets, positions, anchors_b, cfg)
+
+    # Left-aligned reverse complement of each read.
+    rc_idx = jnp.clip(lens[:, None] - 1 - pos_ax, 0, Lp - 1)
+    rc = jnp.take_along_axis(reads, rc_idx, axis=1).astype(jnp.int32)
+    rc = jnp.where(rc < 4, 3 - rc, rc)
+    rc = jnp.where(pos_ax < lens[:, None], rc, RPAD_CODE).astype(jnp.uint8)
+
+    # --- pass-1 contiguous prefilter (SPEC.md §6) -----------------------
+    if prefilter:
+        qa = jnp.where((hits_a.strand == 0)[:, None], reads, rc)
+        sa = jnp.where(hits_a.strand == 0, hits_a.pos,
+                       hits_a.pos + a - lens)
+        mma = _full_read_mm(genome, qa, sa, lens)
+        qb = jnp.where((hits_b.strand == 0)[:, None], reads, rc)
+        sb = jnp.where(hits_b.strand == 0, hits_b.pos + a - lens,
+                       hits_b.pos)
+        mmb = _full_read_mm(genome, qb, sb, lens)
+        contig = ((hits_a.aligned & (mma <= cfg.prefilter_mm))
+                  | (hits_b.aligned & (mmb <= cfg.prefilter_mm)))
+    else:
+        contig = jnp.zeros(B, bool)
+
+    # --- pairing + canonicalization (SPEC.md §3) ------------------------
+    chrom_a = jnp.searchsorted(chrom_offsets, hits_a.pos, side="right") - 1
+    chrom_b = jnp.searchsorted(chrom_offsets, hits_b.pos, side="right") - 1
+    same_strand = hits_a.strand == hits_b.strand
+    same_chrom = chrom_a == chrom_b
+
+    s = hits_a.strand
+    minus = (s == 1)
+    R = jnp.where(minus[:, None], rc, reads)
+    pA = jnp.where(minus, hits_b.pos, hits_a.pos)
+    pB = jnp.where(minus, hits_a.pos, hits_b.pos)
+    qual_left = jnp.where(minus, hits_b.qual, hits_a.qual)
+    qual_right = jnp.where(minus, hits_a.qual, hits_b.qual)
+    endB = pB + a
+
+    linear = pA + a <= pB
+    circular = endB <= pA
+    kind = jnp.where(circular, KIND_CIRCULAR, KIND_LINEAR).astype(jnp.int32)
+
+    bp = breakpoint_search(genome, R, lens, pA, endB, kind, s, cfg)
+
+    # --- status resolution [FROZEN priority] ----------------------------
+    status = jnp.full(B, ST_JUNCTION, jnp.int32)
+    status = jnp.where(bp["no_junction"], ST_NO_JUNCTION, status)
+    status = jnp.where(~(linear | circular), ST_ANCHOR_OVERLAP, status)
+    status = jnp.where(~same_chrom, ST_DIFF_CHROM, status)
+    status = jnp.where(~same_strand, ST_DIFF_STRAND, status)
+    status = jnp.where(~hits_b.aligned, ST_UNALIGNED_B, status)
+    status = jnp.where(~hits_a.aligned, ST_UNALIGNED_A, status)
+    status = jnp.where(contig, ST_PREFILTERED, status)
+
+    return dict(
+        status=status,
+        kind=kind,
+        chrom=chrom_a.astype(jnp.int32),
+        start=bp["start"], end=bp["end"], sense=bp["sense"],
+        align_strand=s.astype(jnp.int32),
+        edits=bp["edits"], n_bp=bp["n_bp"], overlap=bp["overlap"],
+        qual_left=qual_left, qual_right=qual_right,
+        signal=bp["signal"],
+    )
+
+
+def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
+              prefilter: bool = True, batch_size: int | None = None):
+    """Host streaming loop: batch reads, run the device step, yield
+    ReadCalls. `reads` is an iterable of (name, seq)."""
+    bs = batch_size or cfg.batch_size
+    Lp = cfg.max_read_len
+    buf: list[tuple[str, str]] = []
+    out: list[ReadCall] = []
+
+    def flush():
+        if not buf:
+            return
+        n = len(buf)
+        arr = np.full((bs, Lp), RPAD_CODE, dtype=np.uint8)
+        lens = np.zeros(bs, np.int32)
+        for i, (_, seq) in enumerate(buf):
+            codes = seq_to_codes(seq)
+            arr[i, :codes.size] = codes
+            lens[i] = codes.size
+        res = detect_batch(dindex.genome, dindex.offsets, dindex.positions,
+                           dindex.chrom_offsets, jnp.asarray(arr),
+                           jnp.asarray(lens), cfg, prefilter)
+        res = {k: np.asarray(v) for k, v in res.items()}
+        for i, (name, seq) in enumerate(buf):
+            status = int(res["status"][i])
+            if status != ST_JUNCTION:
+                # Match the oracle exactly: non-junction records carry no
+                # junction fields.
+                out.append(ReadCall(name, seq, status))
+                continue
+            out.append(ReadCall(
+                name=name, seq=seq,
+                status=status,
+                kind=int(res["kind"][i]),
+                chrom_idx=int(res["chrom"][i]),
+                start=int(res["start"][i]),
+                end=int(res["end"][i]),
+                sense=int(res["sense"][i]),
+                align_strand=int(res["align_strand"][i]),
+                edits=int(res["edits"][i]),
+                n_bp=int(res["n_bp"][i]),
+                overlap=int(res["overlap"][i]),
+                qual_left=int(res["qual_left"][i]),
+                qual_right=int(res["qual_right"][i]),
+                signal=codes_to_seq(res["signal"][i]),
+            ))
+        buf.clear()
+
+    for name, seq in reads:
+        if len(seq) < 2 * cfg.anchor_len:
+            out.append(ReadCall(name, seq, ST_TOO_SHORT))
+            continue
+        if len(seq) > cfg.max_read_len:
+            out.append(ReadCall(name, seq, ST_TOO_LONG))
+            continue
+        buf.append((name, seq))
+        if len(buf) == bs:
+            flush()
+    flush()
+    return out

@@ -1,0 +1,118 @@
+"""`find_circ` — the junction caller CLI (reference's find_circ.py,
+SURVEY.md §2.1/§3.3).
+
+Differences from the reference, by design: the external bowtie2 anchor
+pass is integrated (the engine aligns anchors itself on TPU/CPU), so the
+input is either anchor FASTQ produced by `unmapped2anchors` (full reads
+recovered from the name codec) or plain read FASTQ via --reads-format.
+Flags mirror the reference where known: -G genome, -a anchor length,
+-p prefix, -n name, -s stats, --stranded.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from find_circ2_tpu.config import Config
+from find_circ2_tpu.index.build import build_index
+from find_circ2_tpu.io.bed import write_bed
+from find_circ2_tpu.io.fastq import decode_anchor_name, read_fastq
+from find_circ2_tpu.io.genome import Genome
+from find_circ2_tpu.models.aggregate import Aggregator
+from find_circ2_tpu.models.pipeline import DeviceIndex, run_reads
+from find_circ2_tpu.models.oracle import call_read
+
+
+def reads_from_anchor_fastq(path):
+    """Recover unique original reads from anchor records (codec names)."""
+    seen = set()
+    for rec in read_fastq(path):
+        name, seq, _qual, _side = decode_anchor_name(rec.name)
+        if name in seen:
+            continue
+        seen.add(name)
+        yield name, seq
+
+
+def reads_from_fastq(path):
+    for rec in read_fastq(path):
+        yield rec.name, rec.seq
+
+
+def build_parser() -> argparse.ArgumentParser:
+    d = Config()
+    p = argparse.ArgumentParser(
+        prog="find_circ", description="detect circRNA junctions")
+    p.add_argument("input", help="anchor FASTQ from unmapped2anchors, or "
+                   "plain FASTQ with --reads-format fastq")
+    p.add_argument("-G", "--genome", required=True,
+                   help="genome FASTA(.gz)")
+    p.add_argument("-o", "--output", default="-",
+                   help="junction BED output (default stdout)")
+    p.add_argument("-s", "--stats", default=None, help="stats file")
+    p.add_argument("-p", "--prefix", default="",
+                   help="prefix for junction names")
+    p.add_argument("-n", "--name", default="unknown",
+                   help="sample/tissue name for the tissues column")
+    p.add_argument("-a", "--anchor", type=int, default=d.anchor_len)
+    p.add_argument("--reads-format", choices=("anchors", "fastq"),
+                   default="anchors")
+    p.add_argument("--stranded", action="store_true",
+                   help="library is stranded: fill strandmatch column")
+    p.add_argument("--no-prefilter", action="store_true",
+                   help="input reads are already unmapped; skip the "
+                   "contiguous-alignment prefilter")
+    p.add_argument("--backend", choices=("device", "oracle"),
+                   default="device",
+                   help="device = JAX/TPU path, oracle = numpy reference")
+    p.add_argument("--filter", action="store_true",
+                   help="emit only CIRCULAR & UNAMBIGUOUS_BP & "
+                   "ANCHOR_UNIQUE junctions within --max-span")
+    p.add_argument("--max-span", type=int, default=d.max_span)
+    p.add_argument("--batch-size", type=int, default=d.batch_size)
+    return p
+
+
+def run(args) -> int:
+    cfg = Config(anchor_len=args.anchor,
+                 prefix_len=min(12, args.anchor - 8),
+                 stranded=args.stranded, batch_size=args.batch_size)
+    genome = Genome.from_fasta(args.genome, cfg)
+    index = build_index(genome, cfg)
+    src = (reads_from_anchor_fastq(args.input)
+           if args.reads_format == "anchors"
+           else reads_from_fastq(args.input))
+    prefilter = not args.no_prefilter
+    agg = Aggregator(genome, cfg)
+    if args.backend == "device":
+        for call in run_reads(DeviceIndex.build(genome, index, cfg), src,
+                              cfg, prefilter):
+            agg.add(call)
+    else:
+        for name, seq in src:
+            agg.add(call_read(genome, index, name, seq, cfg, prefilter))
+    rows = agg.rows(sample_name=args.name, prefix=args.prefix)
+    if args.filter:
+        rows = [r for r in rows
+                if {"CIRCULAR", "UNAMBIGUOUS_BP", "ANCHOR_UNIQUE"}
+                <= set(r.category.split(","))
+                and r.end - r.start <= args.max_span]
+    out = sys.stdout if args.output == "-" else open(args.output, "wt")
+    try:
+        write_bed(out, rows)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    if args.stats:
+        with open(args.stats, "wt") as fh:
+            fh.write("\n".join(agg.stats.lines()) + "\n")
+    return 0
+
+
+def main(argv=None) -> int:
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

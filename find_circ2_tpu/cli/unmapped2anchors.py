@@ -1,0 +1,54 @@
+"""`unmapped2anchors` — split unmapped reads into terminal anchor records.
+
+Reproduces the reference tool's contract (SURVEY.md §2.1/§3.2): reads in,
+two anchor FASTQ records out per read, with the full original read encoded
+in the record name so downstream stages never re-read the input. Input is
+FASTQ(.gz); BAM input from the original is replaced by FASTQ since the
+TPU engine integrates the aligner (no samtools in this stack, SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from find_circ2_tpu.config import Config
+from find_circ2_tpu.io.fastq import anchors_for_read, read_fastq, write_fastq
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="unmapped2anchors",
+        description="emit anchor FASTQ records for unmapped reads")
+    p.add_argument("reads", help="FASTQ(.gz) of unmapped reads")
+    p.add_argument("-a", "--anchor", type=int,
+                   default=Config().anchor_len,
+                   help="anchor length (default %(default)s)")
+    p.add_argument("-o", "--output", default="-",
+                   help="output FASTQ path (default stdout)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    out = sys.stdout if args.output == "-" else open(args.output, "wt")
+    n_reads = n_short = 0
+    try:
+        for rec in read_fastq(args.reads):
+            n_reads += 1
+            emitted = False
+            for anc in anchors_for_read(rec, args.anchor):
+                write_fastq(out, anc)
+                emitted = True
+            if not emitted:
+                n_short += 1
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    print(f"unmapped2anchors: {n_reads} reads, {n_short} too short",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -16,9 +16,9 @@ import dataclasses
 class Config:
     # SPEC.md §0
     anchor_len: int = 20          # `a`: terminal anchor length (SURVEY §3.2)
-    seed_len: int = 10            # `k`: seed k-mer length; 2*k must equal a
-    max_anchor_mm: int = 1        # A_MM: max mismatches for an aligned anchor
-    max_bucket: int = 64          # repetitive-seed guard (SPEC §2)
+    prefix_len: int = 12          # direct-addressed index prefix (SPEC §1)
+    max_anchor_mm: int = 1        # A_MM: enumeration ball radius (SPEC §2)
+    max_bucket: int = 64          # repetitive-20-mer guard (SPEC §2)
     max_read_len: int = 160       # L_max: device padding length
     chrom_gap: int = 512          # sentinel padding around chromosomes
     min_uniq_qual: int = 10       # unique-anchor qual threshold
@@ -30,8 +30,11 @@ class Config:
     stranded: bool = False
 
     def __post_init__(self) -> None:
-        if 2 * self.seed_len != self.anchor_len:
-            raise ValueError("seed_len must be anchor_len/2 (SPEC.md §2)")
+        if not 1 <= self.anchor_len - self.prefix_len <= 8:
+            raise ValueError("anchor_len - prefix_len must be in [1, 8] "
+                             "(suffix must fit 16 bits, SPEC.md §1)")
+        if self.max_anchor_mm > 1:
+            raise ValueError("enumeration supports max_anchor_mm <= 1")
         if self.max_read_len < 2 * self.anchor_len:
             raise ValueError("max_read_len must be >= 2*anchor_len")
         if self.chrom_gap < self.max_read_len + 2:

@@ -1,10 +1,14 @@
-"""Genome seed index: the TPU-native replacement for bowtie2-build's
+"""Genome seed index v2: the TPU-native replacement for bowtie2-build's
 FM-index (SURVEY.md §2.2, L0 in §1).
 
-Instead of a BWT, we use a direct-addressed k-mer table (4^k buckets,
-k=10 by default => 1M buckets) over the sentinel-padded concatenated
-genome: dense arrays, O(1) lookup, trivially shardable by k-mer range
-across chips (find_circ2_tpu/index/shard.py). Semantics in SPEC.md §1-§2.
+Two-level exact-20-mer index (SPEC.md §1): a direct-addressed table on the
+first `prefix_len` (=12) bases plus, within each bucket, positions sorted
+by the 16-bit value of the remaining `a - prefix_len` (=8) bases. An exact
+anchor-window query is one offsets lookup + a short binary search; K1
+(ops/anchor_align.py) enumerates the <=A_MM-mismatch neighborhood of each
+anchor and resolves every variant exactly — dense arrays, O(1)+O(log)
+lookups, trivially shardable by prefix range across chips
+(find_circ2_tpu/index/shard.py).
 """
 
 from __future__ import annotations
@@ -19,23 +23,32 @@ from find_circ2_tpu.io.genome import Genome
 
 @dataclass
 class SeedIndex:
-    """Direct-addressed k-mer index over a concatenated genome.
+    """Two-level exact anchor-window index over a concatenated genome.
 
-    positions: uint32 global window starts, grouped by k-mer, position
-        ascending within a bucket (SPEC.md §1).
-    offsets:   uint32[4^k + 1] bucket start offsets into `positions`.
+    positions:   uint32 starts of valid windows (all `anchor_len` codes
+                 < 4), sorted by (prefix12, suffix8, position).
+    suffix_vals: uint16 suffix value per entry of `positions`.
+    offsets:     uint32[4^prefix_len + 1] bucket ranges by prefix.
+    bsearch_iters: static number of binary-search rounds that suffices for
+                 the largest prefix bucket (ceil(log2(max_bucket_size+1))).
     """
-    seed_len: int
+    anchor_len: int
+    prefix_len: int
     positions: np.ndarray
+    suffix_vals: np.ndarray
     offsets: np.ndarray
+    bsearch_iters: int
 
     @property
     def n_buckets(self) -> int:
-        return 4 ** self.seed_len
+        return 4 ** self.prefix_len
 
-    def bucket(self, kmer: int) -> np.ndarray:
-        lo, hi = int(self.offsets[kmer]), int(self.offsets[kmer + 1])
-        return self.positions[lo:hi]
+    def lookup(self, p12: int, s8: int) -> np.ndarray:
+        """Exact-20-mer query -> position array (host/debug use)."""
+        lo, hi = int(self.offsets[p12]), int(self.offsets[p12 + 1])
+        left = lo + np.searchsorted(self.suffix_vals[lo:hi], s8, "left")
+        right = lo + np.searchsorted(self.suffix_vals[lo:hi], s8, "right")
+        return self.positions[left:right]
 
 
 def kmer_values(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -59,15 +72,28 @@ def kmer_values(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def build_index(genome: Genome, cfg: Config = Config()) -> SeedIndex:
-    """Build the seed index over the full concatenated genome."""
-    k = cfg.seed_len
-    kmers, valid = kmer_values(genome.codes, k)
-    pos = np.nonzero(valid)[0].astype(np.uint32)
-    kv = kmers[pos]
-    # Stable sort by k-mer keeps positions ascending within each bucket.
-    order = np.argsort(kv, kind="stable")
-    positions = pos[order]
-    counts = np.bincount(kv, minlength=4 ** k)
-    offsets = np.zeros(4 ** k + 1, dtype=np.uint32)
+    """Build the two-level index over the full concatenated genome."""
+    a, pk = cfg.anchor_len, cfg.prefix_len
+    sk = a - pk
+    codes = genome.codes
+    pref, pref_ok = kmer_values(codes, pk)
+    suf, suf_ok = kmer_values(codes[pk:], sk)
+    n = min(pref.size, suf.size)
+    valid = pref_ok[:n] & suf_ok[:n]
+    pos = np.nonzero(valid)[0]
+    p12 = pref[pos]
+    s8 = suf[pos].astype(np.uint16)
+    # Sort by (prefix, suffix, position); np.lexsort is stable so position
+    # order within equal (prefix, suffix) is preserved ascending.
+    order = np.lexsort((s8, p12))
+    positions = pos[order].astype(np.uint32)
+    suffix_vals = s8[order]
+    counts = np.bincount(p12, minlength=4 ** pk)
+    offsets = np.zeros(4 ** pk + 1, dtype=np.uint32)
     offsets[1:] = np.cumsum(counts, dtype=np.uint64).astype(np.uint32)
-    return SeedIndex(seed_len=k, positions=positions, offsets=offsets)
+    max_bucket_size = int(counts.max()) if counts.size else 0
+    iters = max(1, int(np.ceil(np.log2(max_bucket_size + 1)))) \
+        if max_bucket_size else 1
+    return SeedIndex(anchor_len=a, prefix_len=pk, positions=positions,
+                     suffix_vals=suffix_vals, offsets=offsets,
+                     bsearch_iters=iters)

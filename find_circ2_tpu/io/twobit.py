@@ -18,7 +18,7 @@ for i, b in enumerate("ACGT"):
     _CODE_LUT[ord(b)] = i
     _CODE_LUT[ord(b.lower())] = i
 
-_BASE_LUT = np.frombuffer(b"ACGTN?#", dtype=np.uint8)  # code -> ASCII
+_BASE_LUT = np.frombuffer(b"ACGTN?#!", dtype=np.uint8)  # code -> ASCII
 
 # code -> reverse-complement code: 3-c for ACGT, identity for others.
 REVCOMP_LUT = np.array([3, 2, 1, 0, 4, 5, 6], dtype=np.uint8)

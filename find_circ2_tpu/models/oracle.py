@@ -75,46 +75,47 @@ def _hamming(a: np.ndarray, b: np.ndarray) -> int:
     return int(np.sum((a != b) | (a >= 4) | (b >= 4)))
 
 
-def _kmer(codes: np.ndarray, k: int) -> int | None:
-    if np.any(codes >= 4):
-        return None
+def _kmer(codes: np.ndarray) -> int:
     v = 0
-    for c in codes[:k]:
+    for c in codes:
         v = v * 4 + int(c)
     return v
 
 
 def align_anchor(genome: Genome, index: SeedIndex, anchor: np.ndarray,
                  cfg: Config) -> AnchorHit:
-    """SPEC.md §2: exact two-half-seed lookup + Hamming verification."""
-    a, k = cfg.anchor_len, cfg.seed_len
-    G = genome.codes
-    cands: list[tuple[int, int, int]] = []  # (mm, strand, pos)
+    """SPEC.md §2 [FROZEN v2]: neighborhood-enumerated exact 20-mer search.
+
+    Anchors containing any non-ACGT code are unalignable; otherwise every
+    20-mer within Hamming distance A_MM of the (strand-adjusted) query is
+    looked up exactly; candidate sets are disjoint across variants so
+    best/second/count statistics are pure range arithmetic.
+    """
+    a, pk = cfg.anchor_len, cfg.prefix_len
+    if np.any(anchor >= 4):
+        return AnchorHit(aligned=False)
+    # (mm, strand, first_pos, count) per non-empty enumerated variant.
+    cands: list[tuple[int, int, int, int]] = []
     for strand in (0, 1):
         q = anchor if strand == 0 else REVCOMP_LUT[anchor[::-1]]
-        for seed_i, off in ((0, 0), (1, k)):
-            kv = _kmer(q[off:off + k], k)
-            if kv is None:
-                continue
-            bucket = index.bucket(kv)
-            if bucket.size > cfg.max_bucket:
-                continue  # repetitive-seed guard [FROZEN]
-            for wstart in bucket:
-                p = int(wstart) - off
-                window = G[p:p + a]
-                if np.any(window >= 4):
-                    continue  # [FROZEN] no alignment across N/gaps
-                mm_lo = _hamming(q[:k], window[:k])
-                if seed_i == 1 and mm_lo == 0:
-                    continue  # dedup rule [FROZEN]: seed0 owns this hit
-                mm = mm_lo + _hamming(q[k:], window[k:])
-                cands.append((mm, strand, p))
+        variants = [(q, 0)]
+        for j in range(a):
+            for r in (1, 2, 3):
+                u = q.copy()
+                u[j] = (q[j] + r) % 4
+                variants.append((u, 1))
+        for u, mm in variants:
+            hits = index.lookup(_kmer(u[:pk]), _kmer(u[pk:]))
+            if hits.size == 0 or hits.size > cfg.max_bucket:
+                continue  # empty, or repetitive-20-mer guard [FROZEN]
+            cands.append((mm, strand, int(hits[0]), int(hits.size)))
     if not cands:
         return AnchorHit(aligned=False)
     cands.sort()
-    best_mm, strand, pos = cands[0]
-    n_best = sum(1 for c in cands if c[0] == best_mm)
-    second_mm = cands[1][0] if len(cands) > 1 else a + 1
+    best_mm, strand, pos, _ = cands[0]
+    n_best = sum(c[3] for c in cands if c[0] == best_mm)
+    second_mm = (best_mm if n_best > 1
+                 else (cands[1][0] if len(cands) > 1 else a + 1))
     qual = 0 if n_best > 1 else min(40, 10 * (second_mm - best_mm))
     return AnchorHit(aligned=best_mm <= cfg.max_anchor_mm, pos=pos,
                      strand=strand, mm=best_mm, n_best=n_best,

@@ -39,15 +39,19 @@ from find_circ2_tpu.io.twobit import codes_to_seq, seq_to_codes
 from find_circ2_tpu.models.oracle import ReadCall
 from find_circ2_tpu.ops.anchor_align import align_anchors
 from find_circ2_tpu.ops.breakpoint import breakpoint_search
+from find_circ2_tpu.ops.packed import gather_window, pack_nibbles
 
 
 @dataclass(frozen=True)
 class DeviceIndex:
-    """Genome + seed index as device arrays."""
-    genome: jax.Array         # uint8 [G]
-    offsets: jax.Array        # int32 [4^k + 1]
+    """Genome + seed index as device arrays (genome nibble-packed)."""
+    gpacked: jax.Array        # uint32 [~G/8], ops/packed.py layout
+    nbases: int               # total codes (static for jit)
+    offsets: jax.Array        # int32 [4^prefix_len + 1]
+    suffix_vals: jax.Array    # int32 [P] suffix value per position
     positions: jax.Array      # int32 [P]
     chrom_offsets: jax.Array  # int32 [n_chroms]
+    bsearch_iters: int        # static binary-search rounds (index metadata)
 
     @classmethod
     def build(cls, genome: Genome, index: SeedIndex | None = None,
@@ -58,41 +62,68 @@ class DeviceIndex:
             raise ValueError("single-shard genome must fit int32 positions; "
                              "use the sharded path (parallel/)")
         return cls(
-            genome=jnp.asarray(genome.codes),
+            gpacked=jnp.asarray(pack_nibbles(genome.codes)),
+            nbases=len(genome),
             offsets=jnp.asarray(index.offsets.astype(np.int64)
                                 .astype(np.int32)),
+            suffix_vals=jnp.asarray(index.suffix_vals.astype(np.int32)),
             positions=jnp.asarray(index.positions.astype(np.int64)
                                   .astype(np.int32)),
             chrom_offsets=jnp.asarray(
                 genome.chrom_offsets.astype(np.int32)),
+            bsearch_iters=index.bsearch_iters,
         )
 
 
-def _full_read_mm(genome: jnp.ndarray, query: jnp.ndarray,
+def _full_read_mm(gpacked: jnp.ndarray, nbases: int, query: jnp.ndarray,
                   start: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
     """Hamming(query[:l], genome[start:start+l]) per row (SPEC.md §6)."""
     B, Lp = query.shape
-    G = genome.shape[0]
     pos = jnp.arange(Lp, dtype=jnp.int32)[None, :]
-    idx = jnp.clip(start[:, None] + pos, 0, G - 1)
-    win = jnp.take(genome, idx, axis=0).astype(jnp.int32)
+    win = gather_window(gpacked, jnp.clip(start, 0, nbases - Lp), Lp)
     q = query.astype(jnp.int32)
     neq = ((q != win) | (q >= 4) | (win >= 4)) & (pos < lens[:, None])
     return jnp.sum(neq, axis=1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "prefilter"))
+def read_anchors(reads: jnp.ndarray, lens: jnp.ndarray, cfg: Config):
+    """Anchor A = first a bases; anchor B = last a bases (per true len)."""
+    a = cfg.anchor_len
+    Lp = reads.shape[1]
+    anchors_a = reads[:, :a]
+    idxb = jnp.clip(lens[:, None] - a, 0, Lp - a) + jnp.arange(a)[None, :]
+    anchors_b = jnp.take_along_axis(reads, idxb, axis=1)
+    return anchors_a, anchors_b
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "prefilter", "nbases", "bsearch_iters"))
 def detect_batch(
-    genome: jnp.ndarray,
+    gpacked: jnp.ndarray,
+    nbases: int,
     offsets: jnp.ndarray,
+    suffix_vals: jnp.ndarray,
     positions: jnp.ndarray,
     chrom_offsets: jnp.ndarray,
     reads: jnp.ndarray,        # uint8 [B, Lp], RPAD-padded
     lens: jnp.ndarray,         # int32 [B]; rows with lens==0 are padding
     cfg: Config,
+    bsearch_iters: int = 32,
     prefilter: bool = True,
 ):
-    """Full per-batch detection step; returns per-read field arrays.
+    """Full per-batch detection step; returns per-read field arrays."""
+    anchors_a, anchors_b = read_anchors(reads, lens, cfg)
+    hits_a = align_anchors(offsets, suffix_vals, positions, anchors_a,
+                           cfg, bsearch_iters)
+    hits_b = align_anchors(offsets, suffix_vals, positions, anchors_b,
+                           cfg, bsearch_iters)
+    return detect_core(gpacked, nbases, chrom_offsets, reads, lens,
+                       hits_a, hits_b, cfg, prefilter)
+
+
+def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
+                hits_b, cfg: Config, prefilter: bool):
+    """Pairing, prefilter, K2 and status resolution given anchor hits.
 
     Row status follows the oracle's priority order exactly [FROZEN]:
     prefiltered > unaligned_A > unaligned_B > diff_strand > diff_chrom >
@@ -101,14 +132,6 @@ def detect_batch(
     B, Lp = reads.shape
     a = cfg.anchor_len
     pos_ax = jnp.arange(Lp, dtype=jnp.int32)[None, :]
-
-    # Anchors: A = first a bases; B = last a bases (per true length).
-    anchors_a = reads[:, :a]
-    idxb = jnp.clip(lens[:, None] - a, 0, Lp - a) + jnp.arange(a)[None, :]
-    anchors_b = jnp.take_along_axis(reads, idxb, axis=1)
-
-    hits_a = align_anchors(genome, offsets, positions, anchors_a, cfg)
-    hits_b = align_anchors(genome, offsets, positions, anchors_b, cfg)
 
     # Left-aligned reverse complement of each read.
     rc_idx = jnp.clip(lens[:, None] - 1 - pos_ax, 0, Lp - 1)
@@ -121,11 +144,11 @@ def detect_batch(
         qa = jnp.where((hits_a.strand == 0)[:, None], reads, rc)
         sa = jnp.where(hits_a.strand == 0, hits_a.pos,
                        hits_a.pos + a - lens)
-        mma = _full_read_mm(genome, qa, sa, lens)
+        mma = _full_read_mm(gpacked, nbases, qa, sa, lens)
         qb = jnp.where((hits_b.strand == 0)[:, None], reads, rc)
         sb = jnp.where(hits_b.strand == 0, hits_b.pos + a - lens,
                        hits_b.pos)
-        mmb = _full_read_mm(genome, qb, sb, lens)
+        mmb = _full_read_mm(gpacked, nbases, qb, sb, lens)
         contig = ((hits_a.aligned & (mma <= cfg.prefilter_mm))
                   | (hits_b.aligned & (mmb <= cfg.prefilter_mm)))
     else:
@@ -150,7 +173,8 @@ def detect_batch(
     circular = endB <= pA
     kind = jnp.where(circular, KIND_CIRCULAR, KIND_LINEAR).astype(jnp.int32)
 
-    bp = breakpoint_search(genome, R, lens, pA, endB, kind, s, cfg)
+    bp = breakpoint_search(gpacked, nbases, R, lens, pA, endB,
+                           kind, s, cfg)
 
     # --- status resolution [FROZEN priority] ----------------------------
     status = jnp.full(B, ST_JUNCTION, jnp.int32)
@@ -193,9 +217,11 @@ def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
             codes = seq_to_codes(seq)
             arr[i, :codes.size] = codes
             lens[i] = codes.size
-        res = detect_batch(dindex.genome, dindex.offsets, dindex.positions,
+        res = detect_batch(dindex.gpacked, dindex.nbases, dindex.offsets,
+                           dindex.suffix_vals, dindex.positions,
                            dindex.chrom_offsets, jnp.asarray(arr),
-                           jnp.asarray(lens), cfg, prefilter)
+                           jnp.asarray(lens), cfg, dindex.bsearch_iters,
+                           prefilter)
         res = {k: np.asarray(v) for k, v in res.items()}
         for i, (name, seq) in enumerate(buf):
             status = int(res["status"][i])

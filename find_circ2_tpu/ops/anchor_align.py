@@ -1,20 +1,23 @@
-"""K1: batched anchor alignment against the direct-addressed seed index —
-the TPU-native replacement for the reference's bowtie2 anchor pass
-(SURVEY.md §3.4; SPEC.md §2 fixes the exact contract).
+"""K1 v2: batched anchor alignment by neighborhood-enumerated exact
+20-mer search — the TPU-native replacement for the reference's bowtie2
+anchor pass (SURVEY.md §3.4; SPEC.md §2 freezes the exact contract).
 
-Per anchor, 4 seed queries (2 strands x 2 half-seeds) hit the bucket
-table; up to `max_bucket` candidates per query are Hamming-verified in one
-vectorized gather+compare; best/second-best/uniqueness statistics follow
-the frozen lexicographic orders. Static shapes throughout: the candidate
-axis is padded to 4*max_bucket slots and masked.
+Per anchor and strand, every 20-mer within Hamming distance A_MM (=1) of
+the query is enumerated (1 + 3a = 61 variants) and resolved *exactly* in
+the two-level index (direct-addressed 12-base prefix + binary search over
+a 16-bit packed suffix, index/build.py). Each indexed position matches
+exactly one variant, so candidates are disjoint by construction, every
+candidate's mismatch count equals its variant's enumeration distance, and
+K1 touches no genome sequence at all: per-anchor statistics are pure
+range arithmetic. Shapes stay flat ([B, 2*V]) — no trailing window axes
+to fight TPU lane layouts.
 
-Positions are int32 here (single-shard genomes < 2^31; the sharded path
-in parallel/ keeps per-shard local coordinates).
+Positions are int32 (single-shard genomes < 2^31; the sharded path keeps
+per-shard local coordinates).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -36,107 +39,163 @@ class AnchorHits(NamedTuple):
     qual: jnp.ndarray       # int32 [B]
 
 
-def _kmers(q: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Big-endian base-4 values of q[:, :k] and q[:, k:2k] + validity."""
-    weights = (4 ** jnp.arange(k - 1, -1, -1, dtype=jnp.int32))
+def enumerate_variants(anchors: jnp.ndarray, cfg: Config):
+    """All <=A_MM-mismatch 20-mer variants of each anchor, both strands.
 
-    def one(h):
-        v = jnp.sum(jnp.where(h < 4, h, 0).astype(jnp.int32) * weights,
-                    axis=-1)
-        ok = jnp.all(h < 4, axis=-1)
-        return v, ok
-
-    v0, ok0 = one(q[:, :k])
-    v1, ok1 = one(q[:, k:2 * k])
-    return jnp.stack([v0, v1], 1), jnp.stack([ok0, ok1], 1)
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def align_anchors(
-    genome: jnp.ndarray,      # uint8 [G]
-    offsets: jnp.ndarray,     # int32/uint32 [4^k + 1] bucket offsets
-    positions: jnp.ndarray,   # int32 [P] window starts grouped by k-mer
-    anchors: jnp.ndarray,     # uint8 [B, a]
-    cfg: Config,
-) -> AnchorHits:
-    """SPEC.md §2 anchor alignment for a batch of anchors."""
+    anchors: uint8 [B, a]. Returns (p12, s8, mm_v, strand_v, valid) each
+    int32 [B, 2*V] with V = 1 + 3a: for each strand (0='+' query=anchor,
+    1='-' query=revcomp), the exact query then 3 substitutions at each of
+    the a positions. Anchors containing any code >= 4 are wholly invalid
+    [FROZEN v2].
+    """
     B, a = anchors.shape
-    k = cfg.seed_len
-    mb = cfg.max_bucket
-    P = positions.shape[0]
-    G = genome.shape[0]
+    pk = cfg.prefix_len
+    sk = a - pk
+    V = 1 + 3 * a
 
     anc = anchors.astype(jnp.int32)
     anc_rc = jnp.where(anc[:, ::-1] < 4, 3 - anc[:, ::-1], anc[:, ::-1])
+    q = jnp.stack([anc, anc_rc], axis=1)              # [B, 2, a]
+    clean = jnp.all(q < 4, axis=-1)                   # [B, 2]
+    qc = jnp.where(q < 4, q, 0)
 
-    # Queries: [B, 2 strands, a]
-    queries = jnp.stack([anc, anc_rc], axis=1)
+    wp = jnp.where(jnp.arange(a) < pk,
+                   4 ** (pk - 1 - jnp.arange(a)), 0).astype(jnp.int32)
+    ws = jnp.where(jnp.arange(a) >= pk,
+                   4 ** jnp.clip(a - 1 - jnp.arange(a), 0, sk - 1),
+                   0).astype(jnp.int32)
+    base_p12 = jnp.sum(qc * wp, axis=-1)              # [B, 2]
+    base_s8 = jnp.sum(qc * ws, axis=-1)
 
-    # Seed k-mers: [B, 2, 2] (strand, seed), validity same shape.
-    kv_p, ok_p = _kmers(anc, k)
-    kv_m, ok_m = _kmers(anc_rc, k)
-    kmers = jnp.stack([kv_p, kv_m], axis=1)
-    kok = jnp.stack([ok_p, ok_m], axis=1)
+    # Substitutions: for position j and r in {1,2,3}: b = (q_j + r) % 4.
+    r = jnp.arange(1, 4, dtype=jnp.int32)
+    delta = ((qc[..., None] + r) % 4) - qc[..., None]   # [B, 2, a, 3]
+    p12_sub = base_p12[..., None, None] + delta * wp[:, None]
+    s8_sub = base_s8[..., None, None] + delta * ws[:, None]
 
-    offs = offsets.astype(jnp.int32)
-    bucket_lo = jnp.take(offs, kmers, axis=0)
-    bucket_n = jnp.take(offs, kmers + 1, axis=0) - bucket_lo
-    # Repetitive-seed guard + invalid k-mers [FROZEN].
-    usable = kok & (bucket_n <= mb)
-    bucket_n = jnp.where(usable, bucket_n, 0)
+    def flat(exact, subs):
+        return jnp.concatenate(
+            [exact[..., None], subs.reshape(B, 2, 3 * a)], axis=-1
+        ).reshape(B, 2 * V)
 
-    # Candidate positions: [B, 2, 2, mb]
-    slot = jnp.arange(mb, dtype=jnp.int32)
-    cand_idx = bucket_lo[..., None] + slot
-    cand_valid = slot < bucket_n[..., None]
-    cand_idx = jnp.clip(cand_idx, 0, P - 1)
-    wstart = jnp.take(positions, cand_idx, axis=0).astype(jnp.int32)
-    seed_off = jnp.array([0, k], dtype=jnp.int32)[None, None, :, None]
-    astart = wstart - seed_off                       # anchor start
+    p12 = flat(base_p12, p12_sub)
+    s8 = flat(base_s8, s8_sub)
+    # Per-variant metadata stays 1-D [2V] (broadcast later): materializing
+    # it at [B, 2V] makes XLA constant-fold megabyte literals into the
+    # executable — catastrophic for compile time and runtime.
+    mm_one = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.ones((3 * a,), jnp.int32)])
+    mm_v = jnp.tile(mm_one, 2)
+    strand_v = jnp.repeat(jnp.arange(2, dtype=jnp.int32), V)
+    valid = jnp.repeat(clean, V, axis=1)
+    return p12, s8, mm_v, strand_v, valid
 
-    # Verify: gather [B, 2, 2, mb, a] windows and compare to the query.
-    astart_c = jnp.clip(astart, 0, G - a)
-    win = jnp.take(genome, astart_c[..., None]
-                   + jnp.arange(a, dtype=jnp.int32), axis=0).astype(jnp.int32)
-    q = queries[:, :, None, None, :]                 # [B, 2, 1, 1, a]
-    neq = win != q
-    window_clean = jnp.all(win < 4, axis=-1)         # [FROZEN] no N/gap
-    mm_lo = jnp.sum(neq[..., :k], axis=-1)
-    mm = mm_lo + jnp.sum(neq[..., k:], axis=-1)
 
-    # Dedup rule [FROZEN]: seed1 candidates only count if mm_lo > 0.
-    seed1 = jnp.arange(2)[None, None, :, None] == 1
-    valid = (cand_valid & window_clean
-             & ((~seed1) | (mm_lo > 0))
-             & (astart == astart_c))                 # drop clamped slots
-    mm = jnp.where(valid, mm, LARGE_MM)
+def _lower_bound(suffix_vals, lo, hi, target, iters: int):
+    """Vectorized fixed-iteration lower bound of `target` within
+    suffix_vals[lo:hi] (sorted); iters >= ceil(log2(max range + 1))."""
+    P = suffix_vals.shape[0]
+    l, h = lo, hi
+    for _ in range(iters):
+        active = l < h
+        mid = (l + h) >> 1
+        v = jnp.take(suffix_vals, jnp.clip(mid, 0, P - 1), axis=0)
+        go = active & (v < target)
+        l = jnp.where(go, mid + 1, l)
+        h = jnp.where(active & ~go, mid, h)
+    return l
 
-    # Flatten candidate axes: [B, C] with C = 2*2*mb.
-    C = 4 * mb
-    mm_f = mm.reshape(B, C)
-    pos_f = astart_c.reshape(B, C)
-    strand_f = jnp.broadcast_to(
-        jnp.arange(2, dtype=jnp.int32)[None, :, None, None],
-        (B, 2, 2, mb)).reshape(B, C)
-    valid_f = valid.reshape(B, C)
 
-    # Lexicographic best (mm, strand, pos) [FROZEN].
-    m0 = jnp.min(mm_f, axis=1)
-    at_m0 = valid_f & (mm_f == m0[:, None])
-    strand_best = jnp.min(jnp.where(at_m0, strand_f, 2), axis=1)
+def candidate_stats(
+    offsets: jnp.ndarray,      # int32 [n_local + 1] prefix bucket offsets
+    suffix_vals: jnp.ndarray,  # int32/uint16 [P] suffix per position
+    positions: jnp.ndarray,    # int32 [P] window starts
+    anchors: jnp.ndarray,      # uint8 [B, a]
+    cfg: Config,
+    bsearch_iters: int,
+    kmer_base=0,               # first prefix12 owned by this index shard
+):
+    """Per-variant (count, first_pos) plus static (mm, strand) metadata.
+
+    Returns (count, first_pos) of shape [B, 2V] and (mm_v, strand_v) of
+    shape [2V] (broadcast against the batch in finalize_hits). With a
+    k-mer-range index shard, variants outside [kmer_base, kmer_base +
+    n_local) return count 0; each (prefix, suffix) key lives on exactly
+    one shard, so cross-shard combination is psum(count) /
+    pmin(first_pos) (SPEC.md §2).
+    """
+    P = positions.shape[0]
+    n_local = offsets.shape[0] - 1
+    p12, s8, mm_v, strand_v, valid = enumerate_variants(anchors, cfg)
+
+    local = p12 - kmer_base
+    owned = (local >= 0) & (local < n_local) & valid
+    local = jnp.clip(local, 0, n_local - 1)
+    lo = jnp.take(offsets, local, axis=0).astype(jnp.int32)
+    hi = jnp.take(offsets, local + 1, axis=0).astype(jnp.int32)
+    sv = s8.astype(jnp.int32)
+    left = _lower_bound(suffix_vals, lo, hi, sv, bsearch_iters)
+    right = _lower_bound(suffix_vals, lo, hi, sv + 1, bsearch_iters)
+    count = jnp.where(owned, right - left, 0)
+    # Repetitive-20-mer guard [FROZEN].
+    count = jnp.where(count > cfg.max_bucket, 0, count)
+    first_pos = jnp.take(positions, jnp.clip(left, 0, P - 1), axis=0)
+    # NOTE: first_pos is garbage where count == 0 — finalize_hits never
+    # reads those slots single-shard, and masks them before its pmin in
+    # the sharded path. Masking here (a where on the gather output) would
+    # push XLA's TPU gather onto a ~1000x slower scalar emitter.
+    return count, first_pos, mm_v, strand_v
+
+
+def finalize_hits(count, first_pos, mm_v, strand_v, cfg: Config,
+                  axis_name: str | None = None) -> AnchorHits:
+    """Frozen lexicographic best-hit selection + MAPQ surrogate (SPEC §2).
+
+    With `axis_name`, per-shard partial (count, first_pos) are combined
+    with psum/pmin collectives first — integer statistics, bit-identical
+    to the single-shard result.
+    """
+    a = cfg.anchor_len
+    if axis_name is not None:
+        # Mask empty slots before the cross-shard min: another shard may
+        # own the variant and hold the true (larger-pos) range.
+        first_pos = jnp.where(count > 0, first_pos, LARGE_POS)
+        count = jax.lax.psum(count, axis_name)
+        first_pos = jax.lax.pmin(first_pos, axis_name)
+
+    nonempty = count > 0
+    mm = jnp.where(nonempty, mm_v[None, :], LARGE_MM)
+    m0 = jnp.min(mm, axis=1)
+    at_m0 = nonempty & (mm == m0[:, None])
+    n_best = jnp.sum(jnp.where(at_m0, count, 0), axis=1).astype(jnp.int32)
+    strand_best = jnp.min(jnp.where(at_m0, strand_v[None, :], 2), axis=1)
     pos_best = jnp.min(
-        jnp.where(at_m0 & (strand_f == strand_best[:, None]),
-                  pos_f, LARGE_POS), axis=1)
-    n_best = jnp.sum(at_m0, axis=1).astype(jnp.int32)
-
-    is_best_slot = (at_m0 & (strand_f == strand_best[:, None])
-                    & (pos_f == pos_best[:, None]))
-    second_mm = jnp.min(jnp.where(valid_f & ~is_best_slot, mm_f, a + 1),
-                        axis=1)
-
+        jnp.where(at_m0 & (strand_v[None, :] == strand_best[:, None]),
+                  first_pos, LARGE_POS), axis=1)
+    # The best position belongs to exactly one variant (disjointness);
+    # exclude that variant when looking for the runner-up mismatch count.
+    is_best_var = (at_m0 & (strand_v[None, :] == strand_best[:, None])
+                   & (first_pos == pos_best[:, None]))
+    second_mm = jnp.where(
+        n_best > 1, m0,
+        jnp.min(jnp.where(nonempty & ~is_best_var, mm, a + 1), axis=1))
     qual = jnp.where(n_best > 1, 0,
                      jnp.minimum(40, 10 * (second_mm - m0)))
-    aligned = (m0 <= cfg.max_anchor_mm)
-    return AnchorHits(aligned=aligned, pos=pos_best,
-                      strand=strand_best, mm=m0, n_best=n_best,
-                      second_mm=second_mm, qual=qual)
+    aligned = m0 <= cfg.max_anchor_mm
+    return AnchorHits(aligned=aligned, pos=pos_best, strand=strand_best,
+                      mm=m0, n_best=n_best, second_mm=second_mm,
+                      qual=qual)
+
+
+def align_anchors(offsets, suffix_vals, positions, anchors, cfg: Config,
+                  bsearch_iters: int, kmer_base=0,
+                  axis_name: str | None = None) -> AnchorHits:
+    """SPEC.md §2 anchor alignment for a batch of anchors.
+
+    Single-shard when axis_name is None; with axis_name set, each caller
+    holds one prefix-range index shard and results combine over that mesh
+    axis (bit-identical by disjointness of exact-20-mer keys).
+    """
+    stats = candidate_stats(offsets, suffix_vals, positions, anchors, cfg,
+                            bsearch_iters, kmer_base)
+    return finalize_hits(*stats, cfg, axis_name=axis_name)

@@ -35,17 +35,10 @@ _A, _C, _G, _T = 0, 1, 2, 3
 BIG = jnp.int32(1 << 20)
 
 
-def _gather_window(genome: jnp.ndarray, start: jnp.ndarray, width: int
-                   ) -> jnp.ndarray:
-    """genome[start : start+width] per batch row; start int32 [B]."""
-    offs = jnp.arange(width, dtype=jnp.int32)
-    idx = start[:, None] + offs[None, :]
-    return jnp.take(genome, idx, axis=0)
-
-
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "nbases"))
 def breakpoint_search(
-    genome: jnp.ndarray,     # uint8 [G] concatenated sentinel-padded codes
+    gpacked: jnp.ndarray,    # uint32 [~G/8] nibble-packed genome codes
+    nbases: int,             # static: total codes in the packed genome
     reads: jnp.ndarray,      # uint8 [B, Lp] canonicalized read codes (RPAD=6)
     lens: jnp.ndarray,       # int32 [B] true read lengths
     pA: jnp.ndarray,         # int32 [B] left-piece start (global)
@@ -59,21 +52,22 @@ def breakpoint_search(
     Invalid rows (caller masks) still compute garbage safely: all gathers
     are clamped into the genome array.
     """
+    from find_circ2_tpu.ops.packed import gather_window
+
     B, Lp = reads.shape
     a = cfg.anchor_len
-    G = genome.shape[0]
 
     def clamp(x, lo, hi):
         return jnp.clip(x, lo, hi)
 
-    # --- window gathers -------------------------------------------------
+    # --- window gathers (word-packed, ops/packed.py) --------------------
     # GA[i] = genome[pA + i], i in [0, Lp+2): left extension + donor dinuc.
-    startA = clamp(pA, 0, G - (Lp + 2))
-    GA = _gather_window(genome, startA, Lp + 2).astype(jnp.int32)
+    startA = clamp(pA, 0, nbases - (Lp + 2))
+    GA = gather_window(gpacked, startA, Lp + 2)
     # GB window covers genome[endB - l - 2 : endB - l - 2 + Lp + 2]; the
     # right piece base aligned with read position i is GB[i + 2] for i < l.
-    startB = clamp(endB - lens - 2, 0, G - (Lp + 2))
-    GBw = _gather_window(genome, startB, Lp + 2).astype(jnp.int32)
+    startB = clamp(endB - lens - 2, 0, nbases - (Lp + 2))
+    GBw = gather_window(gpacked, startB, Lp + 2)
 
     R = reads.astype(jnp.int32)
     pos = jnp.arange(Lp, dtype=jnp.int32)[None, :]

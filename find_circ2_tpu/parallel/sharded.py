@@ -1,0 +1,114 @@
+"""Sharded multi-chip detection step: shard_map over the (data, index)
+mesh.
+
+Reads stream data-parallel; the seed index is k-mer-range sharded
+tensor-parallel (index/shard.py); anchor-hit statistics combine across
+index shards with integer pmin/psum collectives (ops/anchor_align
+.finalize_hits), which keeps results bit-identical to the single-chip
+path — the property tests/test_sharded.py asserts. Genome codes and the
+breakpoint stage are replicated across "index" (K2's inputs are already
+globally reduced), so only K1's tiny per-anchor statistics cross chips:
+the collective payload is O(batch) int32s, riding ICI.
+
+This realizes BASELINE.json:5/10/11's mandated parallelism; multi-host
+execution only changes how the mesh is constructed (jax.distributed),
+not this code.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from find_circ2_tpu.config import Config
+from find_circ2_tpu.index.build import SeedIndex
+from find_circ2_tpu.index.shard import ShardedIndex, shard_index
+from find_circ2_tpu.io.genome import Genome
+from find_circ2_tpu.models.pipeline import detect_core, read_anchors
+from find_circ2_tpu.ops.anchor_align import align_anchors
+from find_circ2_tpu.ops.packed import pack_nibbles
+
+
+def sharded_detect_fn(mesh: Mesh, cfg: Config, nbases: int,
+                      prefilter: bool = True,
+                      kmers_per_shard: int | None = None,
+                      bsearch_iters: int = 32):
+    """Build the jitted sharded detect step over `mesh`.
+
+    Signature of the returned fn:
+        fn(gpacked[W], offsets[nI, S+1], suffix_vals[nI, Pmax],
+           positions[nI, Pmax], chrom_offsets[C], reads[B, Lp], lens[B])
+        -> dict of [B] arrays
+    B must divide evenly by the mesh's "data" size.
+    """
+    S = kmers_per_shard
+
+    def step(gpacked, offsets, suffix_vals, positions, chrom_offsets,
+             reads, lens):
+        # Leading shard axes arrive with size 1 inside shard_map.
+        offsets_l = offsets[0]
+        suffix_l = suffix_vals[0]
+        positions_l = positions[0]
+        my_shard = jax.lax.axis_index("index")
+        kmer_base = my_shard * S
+        anchors_a, anchors_b = read_anchors(reads, lens, cfg)
+        hits_a = align_anchors(offsets_l, suffix_l, positions_l,
+                               anchors_a, cfg, bsearch_iters,
+                               kmer_base=kmer_base, axis_name="index")
+        hits_b = align_anchors(offsets_l, suffix_l, positions_l,
+                               anchors_b, cfg, bsearch_iters,
+                               kmer_base=kmer_base, axis_name="index")
+        # hits_* are replicated across "index" after the collectives; the
+        # rest of the pipeline (prefilter, pairing, K2) runs data-parallel.
+        return detect_core(gpacked, nbases, chrom_offsets, reads, lens,
+                           hits_a, hits_b, cfg, prefilter)
+
+    smapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P("index"), P("index"), P("index"), P(),
+                  P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
+class ShardedEngine:
+    """Host-side wrapper: builds device arrays with the right shardings
+    and runs batches through the sharded step."""
+
+    def __init__(self, genome: Genome, index: SeedIndex, mesh: Mesh,
+                 cfg: Config = Config(), prefilter: bool = True) -> None:
+        self.cfg = cfg
+        self.mesh = mesh
+        n_index = mesh.shape["index"]
+        self.n_data = mesh.shape["data"]
+        sh: ShardedIndex = shard_index(index, n_index)
+        self.fn = sharded_detect_fn(mesh, cfg, len(genome), prefilter,
+                                    kmers_per_shard=sh.kmers_per_shard,
+                                    bsearch_iters=sh.bsearch_iters)
+
+        def put(x, spec):
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        self.gpacked = put(pack_nibbles(genome.codes), P())
+        self.offsets = put(sh.offsets, P("index"))
+        self.suffix_vals = put(sh.suffix_vals, P("index"))
+        self.positions = put(sh.positions, P("index"))
+        self.chrom_offsets = put(
+            genome.chrom_offsets.astype(np.int32), P())
+
+    def detect(self, reads: np.ndarray, lens: np.ndarray):
+        """reads uint8 [B, Lp], lens int32 [B]; B % n_data == 0."""
+        reads_d = jax.device_put(
+            reads, NamedSharding(self.mesh, P("data")))
+        lens_d = jax.device_put(
+            lens, NamedSharding(self.mesh, P("data")))
+        out = self.fn(self.gpacked, self.offsets, self.suffix_vals,
+                      self.positions, self.chrom_offsets, reads_d, lens_d)
+        return {k: np.asarray(v) for k, v in out.items()}

@@ -1,0 +1,98 @@
+"""CLI end-to-end tests: the reference's pipeline recipes (SURVEY.md §3.1)
+exercised through our command surface, including the two-stage
+unmapped2anchors -> find_circ flow and the post-processing utilities."""
+
+import numpy as np
+
+from find_circ2_tpu.cli import main as cli_main
+from find_circ2_tpu.config import Config
+from find_circ2_tpu.io.bed import read_bed
+from find_circ2_tpu.io.fasta import write_fasta
+from find_circ2_tpu.io.fastq import FastqRecord, write_fastq
+from find_circ2_tpu.io.twobit import codes_to_seq
+from find_circ2_tpu.utils.simulate import simulate
+
+CFG = Config(batch_size=256)
+
+
+def _write_inputs(tmp_path, sim):
+    fa = tmp_path / "genome.fa"
+    write_fasta(fa, [(n, codes_to_seq(
+        sim.genome.codes[sim.genome.chrom_offsets[i]:
+                         sim.genome.chrom_offsets[i]
+                         + sim.genome.chrom_lengths[i]]))
+        for i, n in enumerate(sim.genome.chrom_names)])
+    fq = tmp_path / "reads.fastq"
+    with open(fq, "wt") as fh:
+        for name, seq in sim.reads:
+            write_fastq(fh, FastqRecord(name, seq, "I" * len(seq)))
+    return fa, fq
+
+
+def test_full_pipeline_run_and_utilities(tmp_path):
+    sim = simulate(seed=21, n_circ=4, n_linear=2, reads_per_junction=3,
+                   n_contiguous=6, n_random=4)
+    fa, fq = _write_inputs(tmp_path, sim)
+    outdir = tmp_path / "out"
+
+    # Orchestrated run (oracle backend keeps the test fast on CPU).
+    rc = cli_main.main(["run", str(fq), "-G", str(fa), "-o", str(outdir),
+                        "-n", "tissueX", "--backend", "oracle", "--filter"])
+    assert rc == 0
+    rows = list(read_bed(outdir / "splice_sites.bed"))
+    assert rows, "no junctions called"
+    truth = {(t.chrom, t.start, t.end) for t in sim.truths
+             if t.kind == "circular"}
+    called_circ = {(r.chrom, r.start, r.end) for r in rows
+                   if "CIRCULAR" in r.category}
+    assert len(truth & called_circ) >= len(truth) - 1
+    stats = (outdir / "stats.txt").read_text()
+    assert "reads_total" in stats
+    cand = list(read_bed(outdir / "circ_candidates.bed"))
+    assert all("CIRCULAR" in r.category for r in cand)
+
+    # Two-stage flow: unmapped2anchors | find_circ --reads-format anchors.
+    anchors = tmp_path / "anchors.fastq"
+    rc = cli_main.main(["unmapped2anchors", str(fq), "-o", str(anchors)])
+    assert rc == 0
+    two_stage = tmp_path / "two_stage.bed"
+    rc = cli_main.main(["find_circ", str(anchors), "-G", str(fa),
+                        "-o", str(two_stage), "-n", "tissueX",
+                        "--backend", "oracle"])
+    assert rc == 0
+    assert [r.to_line() for r in read_bed(two_stage)] \
+        == [r.to_line() for r in rows]
+
+    # cmp_bed: identical tables concordant, perturbed tables not.
+    assert cli_main.main(["cmp_bed", str(outdir / "splice_sites.bed"),
+                          str(two_stage)]) == 0
+    perturbed = tmp_path / "perturbed.bed"
+    import dataclasses
+    rows2 = [dataclasses.replace(r) for r in rows]
+    rows2[0].start += 1
+    from find_circ2_tpu.io.bed import write_bed
+    write_bed(perturbed, rows2)
+    assert cli_main.main(["cmp_bed", str(outdir / "splice_sites.bed"),
+                          str(perturbed)]) == 1
+
+    # merge_bed: merging a table with itself doubles support counts.
+    merged = tmp_path / "merged.bed"
+    assert cli_main.main(["merge_bed", str(two_stage), str(two_stage),
+                          "-o", str(merged)]) == 0
+    mrows = {r.key(): r for r in read_bed(merged)}
+    for r in rows:
+        m = mrows[r.key()]
+        assert m.n_reads == 2 * r.n_reads
+        assert m.tissues == "tissueX,tissueX"
+
+    # maxlength: span filter drops wide junctions.
+    clipped = tmp_path / "clipped.bed"
+    span = sorted(r.end - r.start for r in rows)[len(rows) // 2]
+    assert cli_main.main(["maxlength", str(two_stage), str(span),
+                          "-o", str(clipped)]) == 0
+    assert all(r.end - r.start <= span for r in read_bed(clipped))
+
+
+def test_cli_unknown_command(capsys):
+    assert cli_main.main(["bogus"]) == 2
+    assert "unknown command" in capsys.readouterr().err

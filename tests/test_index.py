@@ -1,11 +1,14 @@
-"""Seed index unit tests (SPEC.md §1)."""
+"""Seed index v2 unit tests (SPEC.md §1): two-level exact-20-mer index."""
 
 import numpy as np
 
 from find_circ2_tpu.config import Config
 from find_circ2_tpu.index.build import build_index, kmer_values
+from find_circ2_tpu.index.shard import shard_index
 from find_circ2_tpu.io.genome import Genome
 from find_circ2_tpu.io.twobit import seq_to_codes
+
+CFG = Config()
 
 
 def _naive_kmer(codes, k):
@@ -24,7 +27,7 @@ def _naive_kmer(codes, k):
 def test_kmer_values_vs_naive():
     rng = np.random.default_rng(1)
     codes = rng.integers(0, 6, size=300).astype(np.uint8)  # includes N/gap
-    for k in (3, 10):
+    for k in (3, 10, 12):
         got_v, got_ok = kmer_values(codes, k)
         want_v, want_ok = _naive_kmer(codes, k)
         assert np.array_equal(got_ok, want_ok)
@@ -32,30 +35,74 @@ def test_kmer_values_vs_naive():
 
 
 def test_kmer_encoding_endianness():
-    # "ACGT...": first base most significant (SPEC.md §1).
+    # "ACG": first base most significant (SPEC.md §1).
     codes = seq_to_codes("ACG")
     v, ok = kmer_values(codes, 3)
     assert ok[0] and v[0] == 0 * 16 + 1 * 4 + 2
 
 
-def test_build_index_buckets():
-    cfg = Config(seed_len=10)
+def _kval(codes):
+    v = 0
+    for c in codes:
+        v = v * 4 + int(c)
+    return v
+
+
+def test_build_index_lookup_exact():
     rng = np.random.default_rng(2)
-    seq = rng.integers(0, 4, size=5000, dtype=np.uint8)
-    g = Genome.from_records([("c", seq)], cfg)
-    idx = build_index(g, cfg)
-    # Every valid window is present in exactly one bucket, sorted by pos.
-    kmers, valid = kmer_values(g.codes, 10)
-    n_valid = int(valid.sum())
-    assert idx.positions.size == n_valid
-    probe = np.random.default_rng(3).integers(0, n_valid, size=50)
-    starts = np.nonzero(valid)[0]
-    for p in starts[probe]:
-        kv = int(kmers[p])
-        bucket = idx.bucket(kv)
-        assert p in bucket
-        assert np.all(np.diff(bucket.astype(np.int64)) > 0)  # pos ascending
-    # Offsets cover all positions.
-    assert int(idx.offsets[-1]) == n_valid
-    # Windows overlapping the sentinel gaps are not indexed.
-    assert not valid[:cfg.chrom_gap - 9].any()
+    seq = rng.integers(0, 4, size=20000, dtype=np.uint8)
+    # Sprinkle Ns to exercise validity.
+    seq[5000:5003] = 4
+    g = Genome.from_records([("c", seq)], CFG)
+    idx = build_index(g, CFG)
+    a, pk = CFG.anchor_len, CFG.prefix_len
+    # Probe: every sampled valid window must be findable via lookup; its
+    # range must contain exactly the positions with that 20-mer.
+    probe = rng.integers(0, len(g.codes) - a, size=300)
+    naive = {}
+    for p in range(len(g.codes) - a):
+        w = g.codes[p:p + a]
+        if np.all(w < 4):
+            naive.setdefault(bytes(w), []).append(p)
+    for p in probe:
+        w = g.codes[p:p + a]
+        if not np.all(w < 4):
+            continue
+        hits = idx.lookup(_kval(w[:pk]), _kval(w[pk:]))
+        assert list(hits) == naive[bytes(w)]
+    # Windows with N are not indexed.
+    total = sum(len(v) for v in naive.values())
+    assert idx.positions.size == total
+    # Ranges are position-sorted: first element is the min.
+    some = next(v for v in naive.values() if len(v) >= 1)
+    w = g.codes[some[0]:some[0] + a]
+    hits = idx.lookup(_kval(w[:pk]), _kval(w[pk:]))
+    assert list(hits) == sorted(hits)
+
+
+def test_shard_index_partition():
+    rng = np.random.default_rng(3)
+    seq = rng.integers(0, 4, size=30000, dtype=np.uint8)
+    g = Genome.from_records([("c", seq)], CFG)
+    idx = build_index(g, CFG)
+    for n in (1, 2, 4, 3):
+        sh = shard_index(idx, n)
+        parts, sufs = [], []
+        for i in range(n):
+            cnt = int(sh.offsets[i, -1])
+            parts.append(sh.positions[i, :cnt])
+            sufs.append(sh.suffix_vals[i, :cnt])
+        assert np.array_equal(np.concatenate(parts),
+                              idx.positions.astype(np.int64).astype(np.int32))
+        assert np.array_equal(np.concatenate(sufs),
+                              idx.suffix_vals.astype(np.int32))
+        # Local offsets consistent per-bucket.
+        S = sh.kmers_per_shard
+        probe = np.random.default_rng(0).integers(0, idx.n_buckets, size=100)
+        offs = idx.offsets.astype(np.int64)
+        for kv in probe:
+            i, lk = divmod(int(kv), S)
+            lo, hi = sh.offsets[i, lk], sh.offsets[i, lk + 1]
+            want = idx.positions[offs[kv]:offs[kv + 1]]
+            assert np.array_equal(sh.positions[i, lo:hi],
+                                  want.astype(np.int64).astype(np.int32))

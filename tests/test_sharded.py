@@ -1,0 +1,60 @@
+"""Sharded path tests on the 8-virtual-CPU-device mesh (conftest.py):
+bit-identical results vs the single-chip step, across mesh shapes —
+SURVEY.md §4 "multi-host tests without a real cluster"."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from find_circ2_tpu.config import RPAD_CODE, Config
+from find_circ2_tpu.index.build import build_index
+from find_circ2_tpu.models.pipeline import DeviceIndex, detect_batch
+from find_circ2_tpu.parallel.mesh import make_mesh
+from find_circ2_tpu.parallel.sharded import ShardedEngine
+from find_circ2_tpu.io.twobit import seq_to_codes
+from find_circ2_tpu.utils.simulate import simulate
+
+CFG = Config(batch_size=64)
+
+
+def _batchify(reads, cfg, bs):
+    arr = np.full((bs, cfg.max_read_len), RPAD_CODE, np.uint8)
+    lens = np.zeros(bs, np.int32)
+    kept = [(n, s) for n, s in reads
+            if 2 * cfg.anchor_len <= len(s) <= cfg.max_read_len][:bs]
+    for i, (_, s) in enumerate(kept):
+        codes = seq_to_codes(s)
+        arr[i, :codes.size] = codes
+        lens[i] = codes.size
+    return arr, lens
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (8, 1), (4, 2)])
+def test_sharded_matches_single_chip(shape):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    sim = simulate(seed=33, n_circ=5, n_linear=3, reads_per_junction=3,
+                   n_contiguous=10, n_random=6, err_rate=0.3)
+    idx = build_index(sim.genome, CFG)
+    reads, lens = _batchify(sim.reads, CFG, 64)
+
+    dindex = DeviceIndex.build(sim.genome, idx, CFG)
+    ref = detect_batch(dindex.gpacked, dindex.nbases, dindex.offsets,
+                       dindex.suffix_vals, dindex.positions,
+                       dindex.chrom_offsets, reads, lens, CFG,
+                       dindex.bsearch_iters, True)
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+
+    mesh = make_mesh(8, shape=shape)
+    eng = ShardedEngine(sim.genome, idx, mesh, CFG, prefilter=True)
+    got = eng.detect(reads, lens)
+
+    live = lens > 0
+    for key in ref:
+        r, g = ref[key], got[key]
+        if key == "signal":
+            mask = live[:, None]
+        else:
+            mask = live
+        assert np.array_equal(np.where(mask, r, 0), np.where(mask, g, 0)), \
+            (key, shape, r[live][:10], g[live][:10])

@@ -12,10 +12,11 @@ Flags mirror the reference where known: -G genome, -a anchor length,
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from find_circ2_tpu.config import Config
-from find_circ2_tpu.index.build import build_index
+from find_circ2_tpu.index.build import build_index, load_index
 from find_circ2_tpu.io.bed import write_bed
 from find_circ2_tpu.io.fastq import decode_anchor_name, read_fastq
 from find_circ2_tpu.io.genome import Genome
@@ -46,8 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="find_circ", description="detect circRNA junctions")
     p.add_argument("input", help="anchor FASTQ from unmapped2anchors, or "
                    "plain FASTQ with --reads-format fastq")
-    p.add_argument("-G", "--genome", required=True,
+    p.add_argument("-G", "--genome", default=None,
                    help="genome FASTA(.gz)")
+    p.add_argument("-x", "--index", default=None,
+                   help="prebuilt .npz index from `tpu_circ index` "
+                   "(replaces -G; bowtie2 -x analog)")
     p.add_argument("-o", "--output", default="-",
                    help="junction BED output (default stdout)")
     p.add_argument("-s", "--stats", default=None, help="stats file")
@@ -71,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "ANCHOR_UNIQUE junctions within --max-span")
     p.add_argument("--max-span", type=int, default=d.max_span)
     p.add_argument("--batch-size", type=int, default=d.batch_size)
+    p.add_argument("--journal", default=None,
+                   help="JSONL resume journal: completed batches replay "
+                   "from disk on rerun")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage timings to stderr")
     return p
 
 
@@ -78,20 +87,47 @@ def run(args) -> int:
     cfg = Config(anchor_len=args.anchor,
                  prefix_len=min(12, args.anchor - 8),
                  stranded=args.stranded, batch_size=args.batch_size)
-    genome = Genome.from_fasta(args.genome, cfg)
-    index = build_index(genome, cfg)
+    if args.index:
+        genome, index = load_index(args.index)
+        if index.anchor_len != cfg.anchor_len:
+            raise SystemExit(f"index was built with -a {index.anchor_len}, "
+                             f"run requested -a {cfg.anchor_len}")
+    elif args.genome:
+        genome = Genome.from_fasta(args.genome, cfg)
+        index = build_index(genome, cfg)
+    else:
+        raise SystemExit("one of -G/--genome or -x/--index is required")
     src = (reads_from_anchor_fastq(args.input)
            if args.reads_format == "anchors"
            else reads_from_fastq(args.input))
     prefilter = not args.no_prefilter
     agg = Aggregator(genome, cfg)
+    journal = times = None
+    if args.journal:
+        from find_circ2_tpu.utils.journal import RunJournal
+        journal = RunJournal(args.journal)
+    if args.profile:
+        from find_circ2_tpu.utils.profiling import StageTimes
+        times = StageTimes()
     if args.backend == "device":
-        for call in run_reads(DeviceIndex.build(genome, index, cfg), src,
-                              cfg, prefilter):
-            agg.add(call)
+        from find_circ2_tpu import native
+        from find_circ2_tpu.models.stream import run_fastq
+        dindex = DeviceIndex.build(genome, index, cfg)
+        if (args.reads_format == "fastq" and native.available()
+                and journal is None
+                and not os.fspath(args.input).endswith(".gz")):
+            # Fast path: native C FASTQ scanning + batch encoding.
+            run_fastq(dindex, args.input, agg, cfg, prefilter,
+                      times=times)
+        else:
+            for call in run_reads(dindex, src, cfg, prefilter,
+                                  journal=journal, times=times):
+                agg.add(call)
     else:
         for name, seq in src:
             agg.add(call_read(genome, index, name, seq, cfg, prefilter))
+    if times is not None:
+        print(times.report(), file=sys.stderr)
     rows = agg.rows(sample_name=args.name, prefix=args.prefix)
     if args.filter:
         rows = [r for r in rows

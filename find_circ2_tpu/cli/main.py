@@ -72,8 +72,30 @@ def _filter_existing(bed_path: str, out_path: str) -> int:
     return 0
 
 
+def index_cmd(argv) -> int:
+    p = argparse.ArgumentParser(prog="tpu_circ index",
+                                description="build and save the genome "
+                                "seed index (bowtie2-build analog)")
+    p.add_argument("genome", help="genome FASTA(.gz)")
+    p.add_argument("-o", "--output", required=True,
+                   help="output .npz index path")
+    args = p.parse_args(argv)
+    from find_circ2_tpu.config import Config
+    from find_circ2_tpu.index.build import build_index, save_index
+    from find_circ2_tpu.io.genome import Genome
+    cfg = Config()
+    genome = Genome.from_fasta(args.genome, cfg)
+    index = build_index(genome, cfg)
+    save_index(args.output, genome, index)
+    print(f"tpu_circ index: {len(genome)} bases, "
+          f"{index.positions.size} windows -> {args.output}",
+          file=sys.stderr)
+    return 0
+
+
 COMMANDS = {
     "run": run_cmd,
+    "index": index_cmd,
     "unmapped2anchors": unmapped2anchors.main,
     "find_circ": find_circ.main,
     "merge_bed": merge_bed.main,

@@ -97,3 +97,36 @@ def build_index(genome: Genome, cfg: Config = Config()) -> SeedIndex:
     return SeedIndex(anchor_len=a, prefix_len=pk, positions=positions,
                      suffix_vals=suffix_vals, offsets=offsets,
                      bsearch_iters=iters)
+
+
+def save_index(path, genome: Genome, index: SeedIndex) -> None:
+    """Persist genome + index as one .npz (bowtie2-build artifact analog:
+    SURVEY.md §2.2 L0)."""
+    np.savez_compressed(
+        path,
+        codes=genome.codes,
+        chrom_names=np.asarray(genome.chrom_names),
+        chrom_offsets=genome.chrom_offsets,
+        chrom_lengths=genome.chrom_lengths,
+        positions=index.positions,
+        suffix_vals=index.suffix_vals,
+        offsets=index.offsets,
+        meta=np.asarray([index.anchor_len, index.prefix_len,
+                         index.bsearch_iters], dtype=np.int64),
+    )
+
+
+def load_index(path) -> tuple[Genome, SeedIndex]:
+    z = np.load(path, allow_pickle=False)
+    genome = Genome(
+        codes=z["codes"],
+        chrom_names=[str(n) for n in z["chrom_names"]],
+        chrom_offsets=z["chrom_offsets"],
+        chrom_lengths=z["chrom_lengths"],
+    )
+    a, pk, iters = (int(x) for x in z["meta"])
+    index = SeedIndex(anchor_len=a, prefix_len=pk,
+                      positions=z["positions"],
+                      suffix_vals=z["suffix_vals"],
+                      offsets=z["offsets"], bsearch_iters=iters)
+    return genome, index

@@ -199,38 +199,67 @@ def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
 
 
 def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
-              prefilter: bool = True, batch_size: int | None = None):
+              prefilter: bool = True, batch_size: int | None = None,
+              journal=None, times=None):
     """Host streaming loop: batch reads, run the device step, yield
-    ReadCalls. `reads` is an iterable of (name, seq)."""
+    ReadCalls. `reads` is an iterable of (name, seq).
+
+    With a `journal` (utils.journal.RunJournal), completed batches replay
+    from disk and only unprocessed batches hit the device — the resume
+    path of SURVEY.md §5. `times` (utils.profiling.StageTimes) collects
+    per-stage wall time.
+    """
+    import contextlib
+
     bs = batch_size or cfg.batch_size
     Lp = cfg.max_read_len
     buf: list[tuple[str, str]] = []
     out: list[ReadCall] = []
+    done = journal.completed_batches() if journal is not None else {}
+    batch_id = 0
+
+    def timed(name):
+        return times.stage(name) if times is not None \
+            else contextlib.nullcontext()
 
     def flush():
+        nonlocal batch_id
         if not buf:
             return
-        n = len(buf)
+        this_id = batch_id
+        batch_id += 1
+        if this_id in done:
+            replay = done[this_id]
+            if len(replay) != len(buf):
+                raise ValueError(
+                    f"journal batch {this_id} has {len(replay)} calls, "
+                    f"input has {len(buf)}: input changed since journal")
+            out.extend(replay)
+            buf.clear()
+            return
         arr = np.full((bs, Lp), RPAD_CODE, dtype=np.uint8)
         lens = np.zeros(bs, np.int32)
-        for i, (_, seq) in enumerate(buf):
-            codes = seq_to_codes(seq)
-            arr[i, :codes.size] = codes
-            lens[i] = codes.size
-        res = detect_batch(dindex.gpacked, dindex.nbases, dindex.offsets,
-                           dindex.suffix_vals, dindex.positions,
-                           dindex.chrom_offsets, jnp.asarray(arr),
-                           jnp.asarray(lens), cfg, dindex.bsearch_iters,
-                           prefilter)
-        res = {k: np.asarray(v) for k, v in res.items()}
+        with timed("encode"):
+            for i, (_, seq) in enumerate(buf):
+                codes = seq_to_codes(seq)
+                arr[i, :codes.size] = codes
+                lens[i] = codes.size
+        with timed("device_detect"):
+            res = detect_batch(dindex.gpacked, dindex.nbases,
+                               dindex.offsets, dindex.suffix_vals,
+                               dindex.positions, dindex.chrom_offsets,
+                               jnp.asarray(arr), jnp.asarray(lens), cfg,
+                               dindex.bsearch_iters, prefilter)
+            res = {k: np.asarray(v) for k, v in res.items()}
+        batch_calls: list[ReadCall] = []
         for i, (name, seq) in enumerate(buf):
             status = int(res["status"][i])
             if status != ST_JUNCTION:
                 # Match the oracle exactly: non-junction records carry no
                 # junction fields.
-                out.append(ReadCall(name, seq, status))
+                batch_calls.append(ReadCall(name, seq, status))
                 continue
-            out.append(ReadCall(
+            batch_calls.append(ReadCall(
                 name=name, seq=seq,
                 status=status,
                 kind=int(res["kind"][i]),
@@ -246,6 +275,11 @@ def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
                 qual_right=int(res["qual_right"][i]),
                 signal=codes_to_seq(res["signal"][i]),
             ))
+        if journal is not None:
+            journal.record(this_id, batch_calls)
+        if times is not None:
+            times.add_reads(len(batch_calls))
+        out.extend(batch_calls)
         buf.clear()
 
     for name, seq in reads:

@@ -30,6 +30,7 @@ from find_circ2_tpu.index.shard import ShardedIndex, shard_index
 from find_circ2_tpu.io.genome import Genome
 from find_circ2_tpu.models.pipeline import detect_core, read_anchors
 from find_circ2_tpu.ops.anchor_align import align_anchors
+from find_circ2_tpu.ops.merge import merge_junctions, merge_tables
 from find_circ2_tpu.ops.packed import pack_nibbles
 
 
@@ -78,6 +79,51 @@ def sharded_detect_fn(mesh: Mesh, cfg: Config, nbases: int,
     return jax.jit(smapped)
 
 
+def sharded_detect_merge_fn(mesh: Mesh, cfg: Config, nbases: int,
+                            prefilter: bool = True,
+                            kmers_per_shard: int | None = None,
+                            bsearch_iters: int = 32):
+    """Like sharded_detect_fn, but additionally performs the collective
+    junction dedup/merge on device (BASELINE.json:5/10): each data shard
+    collapses its per-read records with a sort+segment combine, the
+    per-shard tables are all_gather'd over the "data" axis, and the
+    gathered stack is re-merged — returning one replicated junction
+    table. Merging is associative/commutative on integers, so the result
+    is bit-identical to a single-device merge."""
+    S = kmers_per_shard
+
+    def step(gpacked, offsets, suffix_vals, positions, chrom_offsets,
+             reads, lens):
+        offsets_l = offsets[0]
+        suffix_l = suffix_vals[0]
+        positions_l = positions[0]
+        my_shard = jax.lax.axis_index("index")
+        kmer_base = my_shard * S
+        anchors_a, anchors_b = read_anchors(reads, lens, cfg)
+        hits_a = align_anchors(offsets_l, suffix_l, positions_l,
+                               anchors_a, cfg, bsearch_iters,
+                               kmer_base=kmer_base, axis_name="index")
+        hits_b = align_anchors(offsets_l, suffix_l, positions_l,
+                               anchors_b, cfg, bsearch_iters,
+                               kmer_base=kmer_base, axis_name="index")
+        res = detect_core(gpacked, nbases, chrom_offsets, reads, lens,
+                          hits_a, hits_b, cfg, prefilter)
+        local = merge_junctions(res, lens, cfg)
+        gathered = {k: jax.lax.all_gather(v, "data") for k, v in
+                    local.items()}
+        return merge_tables(gathered)
+
+    smapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P("index"), P("index"), P("index"), P(),
+                  P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
 class ShardedEngine:
     """Host-side wrapper: builds device arrays with the right shardings
     and runs batches through the sharded step."""
@@ -92,6 +138,10 @@ class ShardedEngine:
         self.fn = sharded_detect_fn(mesh, cfg, len(genome), prefilter,
                                     kmers_per_shard=sh.kmers_per_shard,
                                     bsearch_iters=sh.bsearch_iters)
+        self.merge_fn = sharded_detect_merge_fn(
+            mesh, cfg, len(genome), prefilter,
+            kmers_per_shard=sh.kmers_per_shard,
+            bsearch_iters=sh.bsearch_iters)
 
         def put(x, spec):
             return jax.device_put(x, NamedSharding(mesh, spec))
@@ -111,4 +161,15 @@ class ShardedEngine:
             lens, NamedSharding(self.mesh, P("data")))
         out = self.fn(self.gpacked, self.offsets, self.suffix_vals,
                       self.positions, self.chrom_offsets, reads_d, lens_d)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def detect_merged(self, reads: np.ndarray, lens: np.ndarray):
+        """Full sharded detect + on-device collective junction merge."""
+        reads_d = jax.device_put(
+            reads, NamedSharding(self.mesh, P("data")))
+        lens_d = jax.device_put(
+            lens, NamedSharding(self.mesh, P("data")))
+        out = self.merge_fn(self.gpacked, self.offsets, self.suffix_vals,
+                            self.positions, self.chrom_offsets, reads_d,
+                            lens_d)
         return {k: np.asarray(v) for k, v in out.items()}

@@ -1,0 +1,70 @@
+"""Resume journal: batch-level restartability for streaming runs.
+
+The reference has no checkpointing — a failed run is rerun from scratch
+(SURVEY.md §5). Here every processed read batch appends one JSONL record
+with its per-read calls; on resume, completed batches replay from the
+journal (junction aggregation is associative and commutative, so replay
+order is irrelevant) and only unprocessed batches hit the device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+from find_circ2_tpu.models.oracle import ReadCall
+
+
+class RunJournal:
+    def __init__(self, path: str | os.PathLike) -> None:
+        self.path = os.fspath(path)
+        self._valid_bytes: int | None = None  # set by completed_batches
+
+    def completed_batches(self) -> dict[int, list[ReadCall]]:
+        """Map of batch_id -> recorded calls for all complete records.
+
+        Also notes the byte offset of the last complete record so a torn
+        tail (crash mid-append) is truncated before the next append —
+        otherwise the new record would concatenate onto the partial line
+        and both would be lost.
+        """
+        out: dict[int, list[ReadCall]] = {}
+        self._valid_bytes = 0
+        if not os.path.exists(self.path):
+            return out
+        with open(self.path, "rb") as fh:
+            data = fh.read()
+        parts = data.split(b"\n")
+        offset = 0
+        # Only newline-terminated lines can be complete records; the
+        # final segment (after the last newline) is a torn tail if
+        # non-empty.
+        for raw in parts[:-1]:
+            line = raw.strip()
+            if line:
+                try:
+                    rec = json.loads(line)
+                    out[rec["batch"]] = [ReadCall(**c)
+                                         for c in rec["calls"]]
+                except (json.JSONDecodeError, KeyError, TypeError):
+                    break  # torn/corrupt record: reprocess from here
+            offset += len(raw) + 1
+        self._valid_bytes = offset
+        return out
+
+    def record(self, batch_id: int, calls: list[ReadCall]) -> None:
+        if self._valid_bytes is None:
+            self.completed_batches()
+        if (self._valid_bytes is not None and os.path.exists(self.path)
+                and os.path.getsize(self.path) > self._valid_bytes):
+            with open(self.path, "r+b") as fh:
+                fh.truncate(self._valid_bytes)
+        rec = {"batch": batch_id,
+               "calls": [dataclasses.asdict(c) for c in calls]}
+        with open(self.path, "at", encoding="ascii") as fh:
+            fh.write(json.dumps(rec) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        if self._valid_bytes is not None:
+            self._valid_bytes = os.path.getsize(self.path)

@@ -1,0 +1,127 @@
+"""Native data-loader tests: the C FASTQ scanner/encoder must agree with
+the pure-Python path byte for byte."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from find_circ2_tpu.config import RPAD_CODE
+from find_circ2_tpu.io.fastq import FastqRecord, read_fastq, write_fastq
+from find_circ2_tpu.io.twobit import _CODE_LUT, seq_to_codes
+from find_circ2_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    if not native.available():
+        pytest.skip("no C compiler available for the native loader")
+
+
+def _fastq_bytes(recs):
+    import io
+    buf = io.StringIO()
+    for r in recs:
+        write_fastq(buf, r)
+    return buf.getvalue().encode()
+
+
+def test_parse_fastq_matches_python(lib_ok, tmp_path):
+    rng = np.random.default_rng(7)
+    recs = []
+    for i in range(200):
+        n = int(rng.integers(30, 150))
+        seq = "".join("ACGTN"[j] for j in rng.integers(0, 5, n))
+        recs.append(FastqRecord(f"read{i}/1", seq, "I" * n))
+    data = _fastq_bytes(recs)
+    spans, resume = native.parse_fastq(data)
+    assert spans.shape[0] == len(recs)
+    assert resume == len(data)
+    for i, r in enumerate(recs):
+        ns, ne, ss, se, qs, qe = spans[i]
+        assert data[ns:ne].decode() == r.name
+        assert data[ss:se].decode() == r.seq
+        assert data[qs:qe].decode() == r.qual
+
+
+def test_parse_fastq_partial_tail(lib_ok):
+    recs = [FastqRecord(f"r{i}", "ACGT" * 20, "I" * 80) for i in range(5)]
+    data = _fastq_bytes(recs)
+    cut = data[: len(data) - 37]  # tear the last record
+    spans, resume = native.parse_fastq(cut)
+    assert spans.shape[0] == 4
+    # resume points at the start of the torn record: refilling from there
+    # re-parses it whole.
+    spans2, resume2 = native.parse_fastq(cut[resume:] + data[len(cut):])
+    assert spans2.shape[0] == 1
+
+
+def test_parse_fastq_malformed(lib_ok):
+    with pytest.raises(ValueError):
+        native.parse_fastq(b"not a fastq\nat all\n+\nxx\n")
+
+
+def test_encode_reads_matches_python(lib_ok):
+    rng = np.random.default_rng(8)
+    recs = []
+    for i in range(64):
+        n = int(rng.integers(40, 200))  # some exceed Lp=160
+        seq = "".join("ACGTNacgtn"[j] for j in rng.integers(0, 10, n))
+        recs.append(FastqRecord(f"r{i}", seq, "I" * n))
+    data = _fastq_bytes(recs)
+    spans, _ = native.parse_fastq(data)
+    Lp = 160
+    out = np.full((len(recs), Lp), RPAD_CODE, np.uint8)
+    lens = np.zeros(len(recs), np.int32)
+    native.encode_reads(data, spans[:, 2], spans[:, 3], out, lens,
+                        _CODE_LUT)
+    for i, r in enumerate(recs):
+        if len(r.seq) > Lp:
+            assert lens[i] == -len(r.seq)
+        else:
+            assert lens[i] == len(r.seq)
+            codes = seq_to_codes(r.seq)
+            assert np.array_equal(out[i, :lens[i]], codes)
+            assert (out[i, lens[i]:] == RPAD_CODE).all()
+
+
+def test_run_fastq_stream_matches_run_reads(lib_ok, tmp_path):
+    """The native streaming path must produce byte-identical BED + stats
+    to the pure-Python run_reads path."""
+    import io as _io
+    from find_circ2_tpu.config import Config
+    from find_circ2_tpu.index.build import build_index
+    from find_circ2_tpu.io.bed import write_bed
+    from find_circ2_tpu.models.aggregate import Aggregator
+    from find_circ2_tpu.models.pipeline import DeviceIndex, run_reads
+    from find_circ2_tpu.models.stream import run_fastq
+    from find_circ2_tpu.utils.simulate import simulate
+
+    cfg = Config(batch_size=64)
+    sim = simulate(seed=61, n_circ=5, n_linear=3, reads_per_junction=4,
+                   n_contiguous=30, n_random=10, err_rate=0.3)
+    # Add pathological lengths: too short and too long.
+    reads = list(sim.reads) + [("tiny", "ACGT" * 8),
+                               ("huge", "ACGT" * 50)]
+    fq = tmp_path / "r.fastq"
+    with open(fq, "wt") as fh:
+        for name, seq in reads:
+            write_fastq(fh, FastqRecord(name, seq, "I" * len(seq)))
+    idx = build_index(sim.genome, cfg)
+    dindex = DeviceIndex.build(sim.genome, idx, cfg)
+
+    agg1 = Aggregator(sim.genome, cfg)
+    for c in run_reads(dindex, reads, cfg):
+        agg1.add(c)
+    agg2 = Aggregator(sim.genome, cfg)
+    run_fastq(dindex, fq, agg2, cfg)
+
+    def render(agg):
+        buf = _io.StringIO()
+        write_bed(buf, agg.rows("s"))
+        return buf.getvalue(), sorted(agg.stats.counts.items())
+
+    bed1, stats1 = render(agg1)
+    bed2, stats2 = render(agg2)
+    assert bed1 == bed2
+    assert stats1 == stats2

@@ -58,3 +58,18 @@ def test_sharded_matches_single_chip(shape):
             mask = live
         assert np.array_equal(np.where(mask, r, 0), np.where(mask, g, 0)), \
             (key, shape, r[live][:10], g[live][:10])
+
+
+def test_distributed_helpers():
+    from find_circ2_tpu.parallel.distributed import (global_mesh,
+                                                     host_read_slice)
+    mesh = global_mesh()
+    assert set(mesh.axis_names) == {"data", "index"}
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = global_mesh(index_parallel=2)
+    assert mesh2.shape["index"] == 2
+    # Contiguous, covering, near-even host split.
+    slices = [host_read_slice(103, h, 4) for h in range(4)]
+    assert slices[0][0] == 0 and slices[-1][1] == 103
+    for (a0, a1), (b0, b1) in zip(slices, slices[1:]):
+        assert a1 == b0

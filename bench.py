@@ -73,7 +73,8 @@ def main(argv=None) -> int:
     from find_circ2_tpu.config import Config
     from find_circ2_tpu.index.build import build_index
     from find_circ2_tpu.models.oracle import call_read
-    from find_circ2_tpu.models.pipeline import DeviceIndex, detect_batch
+    from find_circ2_tpu.models.pipeline import (DeviceIndex,
+                                                detect_batch_phased)
     from find_circ2_tpu.io.twobit import codes_to_seq
 
     cfg = Config(batch_size=args.batch)
@@ -98,20 +99,14 @@ def main(argv=None) -> int:
 
     # Warmup / compile.
     t0 = time.time()
-    out = detect_batch(dindex.gpacked, dindex.nbases, dindex.offsets,
-                       dindex.suffix_vals, dindex.positions,
-                       dindex.chrom_offsets, reads_d[0], lens_d[0], cfg,
-                       dindex.bsearch_iters, True)
+    out = detect_batch_phased(dindex, reads_d[0], lens_d[0], cfg, True)
     jax.block_until_ready(out)
     print(f"bench: compile+warmup {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     outs = []
     for rb, lb in zip(reads_d, lens_d):
-        outs.append(detect_batch(dindex.gpacked, dindex.nbases,
-                                 dindex.offsets, dindex.suffix_vals,
-                                 dindex.positions, dindex.chrom_offsets,
-                                 rb, lb, cfg, dindex.bsearch_iters, True))
+        outs.append(detect_batch_phased(dindex, rb, lb, cfg, True))
     jax.block_until_ready(outs)
     dt = time.time() - t0
     n_done = n_batches * B

@@ -37,7 +37,8 @@ from find_circ2_tpu.index.build import SeedIndex, build_index
 from find_circ2_tpu.io.genome import Genome
 from find_circ2_tpu.io.twobit import codes_to_seq, seq_to_codes
 from find_circ2_tpu.models.oracle import ReadCall
-from find_circ2_tpu.ops.anchor_align import align_anchors
+from find_circ2_tpu.ops.anchor_align import (align_anchors,
+    candidate_stats, finalize_hits, variant_metadata)
 from find_circ2_tpu.ops.breakpoint import breakpoint_search
 from find_circ2_tpu.ops.packed import gather_window, pack_nibbles
 
@@ -111,7 +112,15 @@ def detect_batch(
     bsearch_iters: int = 32,
     prefilter: bool = True,
 ):
-    """Full per-batch detection step; returns per-read field arrays."""
+    """Full per-batch detection step in ONE jitted program.
+
+    Used where a single jittable function is required (graft entry,
+    sharded step composition). The host streaming paths use
+    `detect_batch_phased` instead: identical results, ~4.5x faster —
+    XLA's TPU backend schedules the fused K1+finalize+core graph poorly
+    (docs/DESIGN.md "XLA pitfalls"), while the three-program split keeps
+    every phase on its fast emitters at the cost of two extra dispatches.
+    """
     anchors_a, anchors_b = read_anchors(reads, lens, cfg)
     hits_a = align_anchors(offsets, suffix_vals, positions, anchors_a,
                            cfg, bsearch_iters)
@@ -119,6 +128,45 @@ def detect_batch(
                            cfg, bsearch_iters)
     return detect_core(gpacked, nbases, chrom_offsets, reads, lens,
                        hits_a, hits_b, cfg, prefilter)
+
+
+@partial(jax.jit, static_argnames=("cfg", "bsearch_iters"))
+def _stats_phase(offsets, suffix_vals, positions, reads, lens, cfg,
+                 bsearch_iters):
+    anchors_a, anchors_b = read_anchors(reads, lens, cfg)
+    ca, fa, _, _ = candidate_stats(
+        offsets, suffix_vals, positions, anchors_a, cfg, bsearch_iters)
+    cb, fb, _, _ = candidate_stats(
+        offsets, suffix_vals, positions, anchors_b, cfg, bsearch_iters)
+    return ca, fa, cb, fb
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _finalize_phase(ca, fa, cb, fb, cfg):
+    # Variant metadata is reconstructed here rather than routed through
+    # the stats phase outputs (see ops/anchor_align.variant_metadata).
+    mm_v, st_v = variant_metadata(cfg)
+    return (finalize_hits(ca, fa, mm_v, st_v, cfg),
+            finalize_hits(cb, fb, mm_v, st_v, cfg))
+
+
+@partial(jax.jit, static_argnames=("cfg", "prefilter", "nbases"))
+def _core_phase(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
+                hits_b, cfg, prefilter):
+    return detect_core(gpacked, nbases, chrom_offsets, reads, lens,
+                       hits_a, hits_b, cfg, prefilter)
+
+
+def detect_batch_phased(dindex: "DeviceIndex", reads, lens, cfg: Config,
+                        prefilter: bool = True):
+    """Three-program detection step (see detect_batch docstring)."""
+    stats = _stats_phase(dindex.offsets, dindex.suffix_vals,
+                         dindex.positions, reads, lens, cfg,
+                         dindex.bsearch_iters)
+    hits_a, hits_b = _finalize_phase(*stats, cfg)
+    return _core_phase(dindex.gpacked, dindex.nbases,
+                       dindex.chrom_offsets, reads, lens, hits_a, hits_b,
+                       cfg, prefilter)
 
 
 def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
@@ -245,11 +293,8 @@ def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
                 arr[i, :codes.size] = codes
                 lens[i] = codes.size
         with timed("device_detect"):
-            res = detect_batch(dindex.gpacked, dindex.nbases,
-                               dindex.offsets, dindex.suffix_vals,
-                               dindex.positions, dindex.chrom_offsets,
-                               jnp.asarray(arr), jnp.asarray(lens), cfg,
-                               dindex.bsearch_iters, prefilter)
+            res = detect_batch_phased(dindex, jnp.asarray(arr),
+                                      jnp.asarray(lens), cfg, prefilter)
             res = {k: np.asarray(v) for k, v in res.items()}
         batch_calls: list[ReadCall] = []
         for i, (name, seq) in enumerate(buf):

@@ -22,7 +22,8 @@ from find_circ2_tpu.config import (RPAD_CODE, Config, ST_JUNCTION,
 from find_circ2_tpu.io.twobit import _CODE_LUT, codes_to_seq
 from find_circ2_tpu.models.aggregate import Aggregator
 from find_circ2_tpu.models.oracle import ReadCall
-from find_circ2_tpu.models.pipeline import DeviceIndex, detect_batch
+from find_circ2_tpu.models.pipeline import (DeviceIndex,
+    detect_batch_phased)
 from find_circ2_tpu import native
 
 CHUNK = 16 << 20  # bytes per read(2) chunk
@@ -87,12 +88,9 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
                                     arr[:sel.size], lens[:sel.size],
                                     _CODE_LUT)
             with timed("device_detect"):
-                res = detect_batch(
-                    dindex.gpacked, dindex.nbases, dindex.offsets,
-                    dindex.suffix_vals, dindex.positions,
-                    dindex.chrom_offsets, jnp.asarray(arr),
-                    jnp.asarray(lens), cfg, dindex.bsearch_iters,
-                    prefilter)
+                res = detect_batch_phased(dindex, jnp.asarray(arr),
+                                          jnp.asarray(lens), cfg,
+                                          prefilter)
                 res = {k: np.asarray(v) for k, v in res.items()}
             with timed("aggregate"):
                 status = res["status"][:sel.size]

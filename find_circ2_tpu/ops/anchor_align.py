@@ -80,15 +80,26 @@ def enumerate_variants(anchors: jnp.ndarray, cfg: Config):
 
     p12 = flat(base_p12, p12_sub)
     s8 = flat(base_s8, s8_sub)
-    # Per-variant metadata stays 1-D [2V] (broadcast later): materializing
-    # it at [B, 2V] makes XLA constant-fold megabyte literals into the
-    # executable — catastrophic for compile time and runtime.
+    mm_v, strand_v = variant_metadata(cfg)
+    valid = jnp.repeat(clean, V, axis=1)
+    return p12, s8, mm_v, strand_v, valid
+
+
+def variant_metadata(cfg: Config):
+    """Static per-variant (mm, strand) patterns, shape [2V].
+
+    Kept 1-D and reconstructed wherever needed (broadcast later):
+    materializing them at [B, 2V] — or even routing them between jitted
+    programs as outputs/inputs — makes XLA constant-fold large literals
+    into executables, which is catastrophic for compile time and runtime.
+    """
+    a = cfg.anchor_len
+    V = 1 + 3 * a
     mm_one = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.ones((3 * a,), jnp.int32)])
     mm_v = jnp.tile(mm_one, 2)
     strand_v = jnp.repeat(jnp.arange(2, dtype=jnp.int32), V)
-    valid = jnp.repeat(clean, V, axis=1)
-    return p12, s8, mm_v, strand_v, valid
+    return mm_v, strand_v
 
 
 def _lower_bound(suffix_vals, lo, hi, target, iters: int):
@@ -147,6 +158,25 @@ def candidate_stats(
     return count, first_pos, mm_v, strand_v
 
 
+def _fold_min(x: jnp.ndarray) -> jnp.ndarray:
+    """Log-depth min over the last axis via elementwise minimum chains.
+
+    Deliberately avoids a reduce op: XLA's TPU backend demotes gathers
+    whose outputs feed axis reductions to a scalar loop emitter (see
+    docs/DESIGN.md "XLA pitfalls"); pairwise elementwise minimum keeps
+    the vector emitter.
+    """
+    n = x.shape[-1]
+    while n > 1:
+        half = n // 2
+        lo = x[..., :half]
+        hi = x[..., half:2 * half]
+        tail = x[..., 2 * half:n]
+        x = jnp.concatenate([jnp.minimum(lo, hi), tail], axis=-1)
+        n = half + (n - 2 * half)
+    return x[..., 0]
+
+
 def finalize_hits(count, first_pos, mm_v, strand_v, cfg: Config,
                   axis_name: str | None = None) -> AnchorHits:
     """Frozen lexicographic best-hit selection + MAPQ surrogate (SPEC §2).
@@ -154,6 +184,12 @@ def finalize_hits(count, first_pos, mm_v, strand_v, cfg: Config,
     With `axis_name`, per-shard partial (count, first_pos) are combined
     with psum/pmin collectives first — integer statistics, bit-identical
     to the single-shard result.
+
+    Exploits the enumeration structure: mm values are only 0 (the two
+    exact variants, slots 0 and V) or 1 (everything else), so every
+    reduction except the final position-min becomes a slice or an
+    f32 ones-dot (exact for counts << 2^24) — keeping axis reductions
+    away from gather outputs (docs/DESIGN.md).
     """
     a = cfg.anchor_len
     if axis_name is not None:
@@ -163,22 +199,45 @@ def finalize_hits(count, first_pos, mm_v, strand_v, cfg: Config,
         count = jax.lax.psum(count, axis_name)
         first_pos = jax.lax.pmin(first_pos, axis_name)
 
-    nonempty = count > 0
-    mm = jnp.where(nonempty, mm_v[None, :], LARGE_MM)
-    m0 = jnp.min(mm, axis=1)
-    at_m0 = nonempty & (mm == m0[:, None])
-    n_best = jnp.sum(jnp.where(at_m0, count, 0), axis=1).astype(jnp.int32)
-    strand_best = jnp.min(jnp.where(at_m0, strand_v[None, :], 2), axis=1)
-    pos_best = jnp.min(
-        jnp.where(at_m0 & (strand_v[None, :] == strand_best[:, None]),
-                  first_pos, LARGE_POS), axis=1)
-    # The best position belongs to exactly one variant (disjointness);
-    # exclude that variant when looking for the runner-up mismatch count.
-    is_best_var = (at_m0 & (strand_v[None, :] == strand_best[:, None])
-                   & (first_pos == pos_best[:, None]))
+    V2 = count.shape[1]
+    V = V2 // 2
+    ones = jnp.ones((V2,), jnp.float32)
+    cf = count.astype(jnp.float32)
+
+    exact_p = count[:, 0]
+    exact_m = count[:, V]
+    n_exact = exact_p + exact_m
+    total = jnp.dot(cf, ones).astype(jnp.int32)
+
+    any_exact = n_exact > 0
+    any_at_all = total > 0
+    m0 = jnp.where(any_exact, 0,
+                   jnp.where(any_at_all, 1, LARGE_MM)).astype(jnp.int32)
+
+    # n_best: total count at m0.
+    n_best = jnp.where(any_exact, n_exact, total).astype(jnp.int32)
+
+    # strand_best: first strand having a hit at m0.
+    half_p = jnp.dot(cf[:, :V], ones[:V]).astype(jnp.int32)
+    has_p_at_m0 = jnp.where(any_exact, exact_p > 0, half_p > 0)
+    strand_best = jnp.where(has_p_at_m0, 0,
+                            jnp.where(any_at_all, 1, 2)).astype(jnp.int32)
+
+    # pos_best: min first_pos among (nonempty, mm == m0, strand == best).
+    mm_row = mm_v[None, :]
+    strand_row = strand_v[None, :]
+    sel = ((count > 0) & (mm_row == m0[:, None])
+           & (strand_row == strand_best[:, None]))
+    pos_best = _fold_min(jnp.where(sel, first_pos, LARGE_POS))
+
+    # second_mm: with mm in {0,1}: if n_best > 1 it's m0; else the only
+    # other observable value in the ball is 1 (a non-best non-empty
+    # 1-mm variant exists iff total > n_exact when m0 == 0), else a+1.
     second_mm = jnp.where(
         n_best > 1, m0,
-        jnp.min(jnp.where(nonempty & ~is_best_var, mm, a + 1), axis=1))
+        jnp.where((m0 == 0) & (total > n_exact), 1, a + 1)
+    ).astype(jnp.int32)
+
     qual = jnp.where(n_best > 1, 0,
                      jnp.minimum(40, 10 * (second_mm - m0)))
     aligned = m0 <= cfg.max_anchor_mm

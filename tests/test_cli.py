@@ -96,3 +96,22 @@ def test_full_pipeline_run_and_utilities(tmp_path):
 def test_cli_unknown_command(capsys):
     assert cli_main.main(["bogus"]) == 2
     assert "unknown command" in capsys.readouterr().err
+
+
+def test_index_build_and_reuse(tmp_path):
+    sim = simulate(seed=71, n_circ=3, n_linear=1)
+    fa, fq = _write_inputs(tmp_path, sim)
+    idx_path = tmp_path / "g.idx.npz"
+    assert cli_main.main(["index", str(fa), "-o", str(idx_path)]) == 0
+    direct = tmp_path / "direct.bed"
+    viaidx = tmp_path / "viaidx.bed"
+    base = ["find_circ", str(fq), "--reads-format", "fastq",
+            "--backend", "oracle", "-n", "s"]
+    assert cli_main.main(base + ["-G", str(fa), "-o", str(direct)]) == 0
+    assert cli_main.main(base + ["-x", str(idx_path),
+                                 "-o", str(viaidx)]) == 0
+    assert direct.read_text() == viaidx.read_text()
+    # Missing both -G and -x errors out.
+    import pytest
+    with pytest.raises(SystemExit):
+        cli_main.main(["find_circ", str(fq), "-o", "/dev/null"])

@@ -28,6 +28,9 @@ class Config:
     batch_size: int = 4096        # reads per device batch
     # Library strandedness: None => unstranded => strandmatch "NA".
     stranded: bool = False
+    # Use the Pallas K2 kernel (ops/pallas_breakpoint) instead of the
+    # jnp formulation. Bit-identical; perf differs by backend/version.
+    pallas_k2: bool = False
 
     def __post_init__(self) -> None:
         if not 1 <= self.anchor_len - self.prefix_len <= 8:

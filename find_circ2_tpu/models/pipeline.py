@@ -221,8 +221,15 @@ def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
     circular = endB <= pA
     kind = jnp.where(circular, KIND_CIRCULAR, KIND_LINEAR).astype(jnp.int32)
 
-    bp = breakpoint_search(gpacked, nbases, R, lens, pA, endB,
-                           kind, s, cfg)
+    if cfg.pallas_k2:
+        from find_circ2_tpu.ops.pallas_breakpoint import \
+            breakpoint_search_pallas
+        bp = breakpoint_search_pallas(
+            gpacked, nbases, R, lens, pA, endB, kind, s, cfg,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        bp = breakpoint_search(gpacked, nbases, R, lens, pA, endB,
+                               kind, s, cfg)
 
     # --- status resolution [FROZEN priority] ----------------------------
     status = jnp.full(B, ST_JUNCTION, jnp.int32)

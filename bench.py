@@ -61,8 +61,8 @@ def make_bench_data(n_reads: int, genome_mb: float, read_len: int, cfg,
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reads", type=int, default=262_144)
-    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--reads", type=int, default=131_072)
+    ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--genome-mb", type=float, default=32.0)
     ap.add_argument("--read-len", type=int, default=100)
     ap.add_argument("--oracle-sample", type=int, default=150)

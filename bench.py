@@ -67,6 +67,10 @@ def main(argv=None) -> int:
     ap.add_argument("--read-len", type=int, default=100)
     ap.add_argument("--oracle-sample", type=int, default=150)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--sharded", action="store_true",
+                    help="run the (data, index)-sharded engine over all "
+                    "attached devices and report scaling efficiency vs "
+                    "the single-chip number (BASELINE configs[3]/[4])")
     args = ap.parse_args(argv)
 
     import jax
@@ -123,6 +127,26 @@ def main(argv=None) -> int:
     n_junc = int((statuses == 0).sum())
     print(f"bench: best {rps:,.0f} reads/s/chip "
           f"({n_junc} junction reads)", file=sys.stderr)
+
+    if args.sharded and len(jax.devices()) >= 1:
+        from find_circ2_tpu.parallel.distributed import make_engine
+        eng = make_engine(genome, index, cfg)
+        n_dev = len(jax.devices())
+        bs = B * max(1, eng.n_data)
+        sh_batches = [(reads[i * bs:(i + 1) * bs], lens[i * bs:(i + 1) * bs])
+                      for i in range(args.reads // bs)]
+        eng.detect(*sh_batches[0])  # compile
+        best = float("inf")
+        for _ in range(args.epochs):
+            t0 = time.time()
+            for rb, lb in sh_batches:
+                out = eng.detect(rb, lb)
+            best = min(best, time.time() - t0)
+        sh_rps = len(sh_batches) * bs / best
+        eff = sh_rps / (rps * n_dev)
+        print(f"bench: sharded {n_dev} devices "
+              f"(mesh {dict(eng.mesh.shape)}): {sh_rps:,.0f} reads/s, "
+              f"scaling efficiency {eff:.2f}", file=sys.stderr)
 
     # CPU-oracle baseline on a sample.
     sample = min(args.oracle_sample, n_done)

@@ -71,9 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
                    default="device",
                    help="device = JAX/TPU path, oracle = numpy reference")
     p.add_argument("--filter", action="store_true",
-                   help="emit only CIRCULAR & UNAMBIGUOUS_BP & "
-                   "ANCHOR_UNIQUE junctions within --max-span")
+                   help="emit only junctions passing the frozen filter "
+                   "stack: CIRCULAR & UNAMBIGUOUS_BP & ANCHOR_UNIQUE, "
+                   ">= --min-support reads, <= --max-edits edits, "
+                   "span <= --max-span (SPEC.md §5)")
     p.add_argument("--max-span", type=int, default=d.max_span)
+    p.add_argument("--min-support", type=int, default=d.min_support)
+    p.add_argument("--max-edits", type=int, default=d.filter_max_edits)
     p.add_argument("--batch-size", type=int, default=d.batch_size)
     p.add_argument("--journal", default=None,
                    help="JSONL resume journal: completed batches replay "
@@ -130,10 +134,10 @@ def run(args) -> int:
         print(times.report(), file=sys.stderr)
     rows = agg.rows(sample_name=args.name, prefix=args.prefix)
     if args.filter:
+        from find_circ2_tpu.io.bed import passes_filter
         rows = [r for r in rows
-                if {"CIRCULAR", "UNAMBIGUOUS_BP", "ANCHOR_UNIQUE"}
-                <= set(r.category.split(","))
-                and r.end - r.start <= args.max_span]
+                if passes_filter(r, args.max_span, args.min_support,
+                                 args.max_edits)]
     out = sys.stdout if args.output == "-" else open(args.output, "wt")
     try:
         write_bed(out, rows)

@@ -63,11 +63,11 @@ def run_cmd(argv) -> int:
 
 def _filter_existing(bed_path: str, out_path: str) -> int:
     from find_circ2_tpu.config import Config
-    from find_circ2_tpu.io.bed import read_bed, write_bed
+    from find_circ2_tpu.io.bed import passes_filter, read_bed, write_bed
+    cfg = Config()
     rows = [r for r in read_bed(bed_path)
-            if {"CIRCULAR", "UNAMBIGUOUS_BP", "ANCHOR_UNIQUE"}
-            <= set(r.category.split(","))
-            and r.end - r.start <= Config().max_span]
+            if passes_filter(r, cfg.max_span, cfg.min_support,
+                             cfg.filter_max_edits)]
     write_bed(out_path, rows)
     return 0
 

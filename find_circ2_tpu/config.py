@@ -24,6 +24,8 @@ class Config:
     min_uniq_qual: int = 10       # unique-anchor qual threshold
     prefilter_mm: int = 2         # pass-1 contiguous filter threshold
     max_span: int = 100_000       # default --filter / maxlength guard
+    min_support: int = 2          # --filter: min supporting reads (SPEC §5)
+    filter_max_edits: int = 2     # --filter: max edit distance (SPEC §5)
     # Host/device batching.
     batch_size: int = 4096        # reads per device batch
     # Library strandedness: None => unstranded => strandmatch "NA".

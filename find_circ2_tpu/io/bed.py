@@ -80,6 +80,16 @@ def read_bed(path) -> Iterator[JunctionRow]:
             yield JunctionRow.from_line(line)
 
 
+def passes_filter(row: JunctionRow, max_span: int = 100_000,
+                  min_support: int = 2, max_edits: int = 2) -> bool:
+    """Frozen candidate filter stack (SPEC.md §5 / BASELINE.json:9)."""
+    flags = set(row.category.split(","))
+    return ({"CIRCULAR", "UNAMBIGUOUS_BP", "ANCHOR_UNIQUE"} <= flags
+            and row.n_reads >= min_support
+            and row.edits <= max_edits
+            and row.end - row.start <= max_span)
+
+
 def renumber(rows: list[JunctionRow], prefix: str) -> list[JunctionRow]:
     """Sort rows by (chrom,start,end,strand) and assign frozen names.
 

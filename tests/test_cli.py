@@ -115,3 +115,30 @@ def test_index_build_and_reuse(tmp_path):
     import pytest
     with pytest.raises(SystemExit):
         cli_main.main(["find_circ", str(fq), "-o", "/dev/null"])
+
+
+def test_filter_stack(tmp_path):
+    """BASELINE configs[2]: full filter stack — uniqueness, edit distance,
+    breakpoint ambiguity, support counts — on an enriched (circRNA-heavy,
+    RNase-R-like) simulated library."""
+    sim = simulate(seed=91, n_circ=10, n_linear=2, reads_per_junction=5,
+                   n_contiguous=4, n_random=2, err_rate=0.5)
+    fa, fq = _write_inputs(tmp_path, sim)
+    out = tmp_path / "all.bed"
+    assert cli_main.main(["find_circ", str(fq), "-G", str(fa),
+                          "--reads-format", "fastq", "--backend", "oracle",
+                          "-o", str(out), "-n", "rr"]) == 0
+    rows = list(read_bed(out))
+    filtered = tmp_path / "filt.bed"
+    assert cli_main.main(["find_circ", str(fq), "-G", str(fa),
+                          "--reads-format", "fastq", "--backend", "oracle",
+                          "-o", str(filtered), "-n", "rr", "--filter",
+                          "--min-support", "3", "--max-edits", "1"]) == 0
+    frows = list(read_bed(filtered))
+    from find_circ2_tpu.io.bed import passes_filter
+    want = [r for r in rows if passes_filter(r, 100_000, 3, 1)]
+    assert [r.key() for r in frows] == [r.key() for r in want]
+    assert frows, "filter should retain well-supported circular junctions"
+    for r in frows:
+        assert r.n_reads >= 3 and r.edits <= 1
+        assert "CIRCULAR" in r.category and "UNAMBIGUOUS_BP" in r.category

@@ -162,3 +162,57 @@ def test_simulated_end_to_end_truth_recovery():
     assert agg.stats.counts.get("prefiltered_contiguous", 0) >= 8
     # Stats are consistent.
     assert agg.stats.counts["reads_total"] == len(sim.reads)
+
+
+def test_call_read_minus_sense_junction():
+    """A circular junction on the '-' strand: genome shows AC..CT
+    (revcomp of the AG..GT pattern); sense must be '-' with signal
+    reported as GTAG in splice orientation (SPEC.md §4)."""
+    g, seq = _mk_genome(seed=8)
+    off = int(g.chrom_offsets[0])
+    start, end = 6000, 7000
+    seq2 = seq.copy()
+    # '-' sense circular: G[start-2:start] == AC, G[end:end+2] == CT.
+    seq2[start - 2:start] = seq_to_codes("AC")
+    seq2[end:end + 2] = seq_to_codes("CT")
+    # Make sure no accidental '+' signal outranks it at the same split.
+    g = Genome.from_records([("c1", seq2)], CFG)
+    idx = build_index(g, CFG)
+    # A '-'-sense circRNA read: the transcript is the revcomp of the
+    # genome circle, so a read crossing its backsplice equals
+    # revcomp(seq[end-bp:end] + seq[start:start+L-bp]).
+    bp = 45
+    fwd = np.concatenate([seq2[end - bp:end], seq2[start:start + 55]])
+    rs = revcomp_seq(codes_to_seq(fwd))
+    call = call_read(g, idx, "r", rs, CFG)
+    assert call.status == ST_JUNCTION and call.kind == KIND_CIRCULAR
+    assert call.start == start + off and call.end == end + off
+    assert call.sense == SENSE_MINUS
+    assert call.signal == "GTAG"
+    assert call.align_strand == SENSE_MINUS
+    # The forward-orientation read supports the same '-' junction.
+    call2 = call_read(g, idx, "r2", codes_to_seq(fwd), CFG)
+    assert call2.status == ST_JUNCTION
+    assert (call2.start, call2.end, call2.sense) == \
+        (call.start, call.end, call.sense)
+    assert call2.align_strand == SENSE_PLUS
+
+
+def test_call_read_noncanonical_junction():
+    """No splice signal at all: sense falls back to the alignment strand
+    and the junction is not CANONICAL."""
+    g, seq = _mk_genome(seed=9)
+    off = int(g.chrom_offsets[0])
+    start, end = 4000, 5200
+    seq2 = seq.copy()
+    # Destroy any canonical dinucleotides at the planted boundary.
+    seq2[start - 2:start] = seq_to_codes("TT")
+    seq2[end:end + 2] = seq_to_codes("TT")
+    g = Genome.from_records([("c1", seq2)], CFG)
+    idx = build_index(g, CFG)
+    bp = 50
+    read = np.concatenate([seq2[end - bp:end], seq2[start:start + 50]])
+    call = call_read(g, idx, "nc", codes_to_seq(read), CFG)
+    assert call.status == ST_JUNCTION and call.kind == KIND_CIRCULAR
+    assert call.sense == SENSE_PLUS  # alignment strand fallback
+    assert call.signal != "GTAG"

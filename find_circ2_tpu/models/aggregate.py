@@ -15,7 +15,6 @@ from find_circ2_tpu.config import (
     SENSE_CHARS,
     ST_JUNCTION,
     STATUS_NAMES,
-    N_STATUS,
 )
 from find_circ2_tpu.io.bed import JunctionRow, renumber
 from find_circ2_tpu.io.genome import Genome

@@ -10,8 +10,6 @@ within a slice (SURVEY.md §5 comm-backend row).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import numpy as np
 from jax.sharding import Mesh

@@ -45,8 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     d = Config()
     p = argparse.ArgumentParser(
         prog="find_circ", description="detect circRNA junctions")
-    p.add_argument("input", help="anchor FASTQ from unmapped2anchors, or "
-                   "plain FASTQ with --reads-format fastq")
+    p.add_argument("input", nargs="+",
+                   help="anchor FASTQ from unmapped2anchors, or plain "
+                   "FASTQ with --reads-format fastq; several files "
+                   "(e.g. paired-end mates R1 R2) are processed as one "
+                   "stream")
     p.add_argument("-G", "--genome", default=None,
                    help="genome FASTA(.gz)")
     p.add_argument("-x", "--index", default=None,
@@ -84,13 +87,16 @@ def build_parser() -> argparse.ArgumentParser:
                    "from disk on rerun")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timings to stderr")
+    p.add_argument("--pallas-k2", action="store_true",
+                   help="use the Pallas breakpoint kernel (bit-identical)")
     return p
 
 
 def run(args) -> int:
     cfg = Config(anchor_len=args.anchor,
                  prefix_len=min(12, args.anchor - 8),
-                 stranded=args.stranded, batch_size=args.batch_size)
+                 stranded=args.stranded, batch_size=args.batch_size,
+                 pallas_k2=args.pallas_k2)
     if args.index:
         genome, index = load_index(args.index)
         if index.anchor_len != cfg.anchor_len:
@@ -101,9 +107,10 @@ def run(args) -> int:
         index = build_index(genome, cfg)
     else:
         raise SystemExit("one of -G/--genome or -x/--index is required")
-    src = (reads_from_anchor_fastq(args.input)
-           if args.reads_format == "anchors"
-           else reads_from_fastq(args.input))
+    import itertools
+    reader = (reads_from_anchor_fastq if args.reads_format == "anchors"
+              else reads_from_fastq)
+    src = itertools.chain.from_iterable(reader(f) for f in args.input)
     prefilter = not args.no_prefilter
     agg = Aggregator(genome, cfg)
     journal = times = None
@@ -119,10 +126,11 @@ def run(args) -> int:
         dindex = DeviceIndex.build(genome, index, cfg)
         if (args.reads_format == "fastq" and native.available()
                 and journal is None
-                and not os.fspath(args.input).endswith(".gz")):
+                and not any(os.fspath(f).endswith(".gz")
+                            for f in args.input)):
             # Fast path: native C FASTQ scanning + batch encoding.
-            run_fastq(dindex, args.input, agg, cfg, prefilter,
-                      times=times)
+            for f in args.input:
+                run_fastq(dindex, f, agg, cfg, prefilter, times=times)
         else:
             for call in run_reads(dindex, src, cfg, prefilter,
                                   journal=journal, times=times):

@@ -142,3 +142,24 @@ def test_filter_stack(tmp_path):
     for r in frows:
         assert r.n_reads >= 3 and r.edits <= 1
         assert "CIRCULAR" in r.category and "UNAMBIGUOUS_BP" in r.category
+
+
+def test_multiple_input_files(tmp_path):
+    """Paired-end style: R1 + R2 processed as one stream."""
+    sim = simulate(seed=95, n_circ=3, n_linear=1, reads_per_junction=4)
+    fa, fq = _write_inputs(tmp_path, sim)
+    # Split reads across two files.
+    lines = fq.read_text().splitlines(keepends=True)
+    recs = ["".join(lines[i:i + 4]) for i in range(0, len(lines), 4)]
+    r1, r2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+    r1.write_text("".join(recs[::2]))
+    r2.write_text("".join(recs[1::2]))
+    single = tmp_path / "single.bed"
+    paired = tmp_path / "paired.bed"
+    base = ["find_circ", "--reads-format", "fastq", "--backend", "oracle",
+            "-G", str(fa), "-n", "s"]
+    assert cli_main.main(base[:1] + [str(fq)] + base[1:]
+                         + ["-o", str(single)]) == 0
+    assert cli_main.main(base[:1] + [str(r1), str(r2)] + base[1:]
+                         + ["-o", str(paired)]) == 0
+    assert single.read_text() == paired.read_text()

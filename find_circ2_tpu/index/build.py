@@ -38,6 +38,9 @@ class SeedIndex:
     suffix_vals: np.ndarray
     offsets: np.ndarray
     bsearch_iters: int
+    # Query-optimized device form (index/hashtable.py); built lazily by
+    # DeviceIndex.build when absent, persisted by save_index.
+    qtable: "object | None" = None
 
     @property
     def n_buckets(self) -> int:
@@ -101,7 +104,11 @@ def build_index(genome: Genome, cfg: Config = Config()) -> SeedIndex:
 
 def save_index(path, genome: Genome, index: SeedIndex) -> None:
     """Persist genome + index as one .npz (bowtie2-build artifact analog:
-    SURVEY.md §2.2 L0)."""
+    SURVEY.md §2.2 L0). Includes the query table when built, so loads
+    skip the cuckoo construction."""
+    extra = {}
+    if index.qtable is not None:
+        extra = {"qtable": index.qtable.table, "qmeta": index.qtable.meta}
     np.savez_compressed(
         path,
         codes=genome.codes,
@@ -113,6 +120,7 @@ def save_index(path, genome: Genome, index: SeedIndex) -> None:
         offsets=index.offsets,
         meta=np.asarray([index.anchor_len, index.prefix_len,
                          index.bsearch_iters], dtype=np.int64),
+        **extra,
     )
 
 
@@ -125,8 +133,13 @@ def load_index(path) -> tuple[Genome, SeedIndex]:
         chrom_lengths=z["chrom_lengths"],
     )
     a, pk, iters = (int(x) for x in z["meta"])
+    qtable = None
+    if "qtable" in z:
+        from find_circ2_tpu.index.hashtable import QueryTable
+        qtable = QueryTable(table=z["qtable"], meta=z["qmeta"])
     index = SeedIndex(anchor_len=a, prefix_len=pk,
                       positions=z["positions"],
                       suffix_vals=z["suffix_vals"],
-                      offsets=z["offsets"], bsearch_iters=iters)
+                      offsets=z["offsets"], bsearch_iters=iters,
+                      qtable=qtable)
     return genome, index

@@ -1,0 +1,208 @@
+"""Query-optimized k-mer hash table: the device-side form of the seed
+index (SURVEY.md §2.2 L0 — the bowtie2-build artifact analog, query half).
+
+The two-level SeedIndex (index/build.py) is the *build* artifact: sorted
+position lists, exact host lookups, the oracle's ground truth. Querying it
+on device costs ~11 dependent gather passes per anchor variant (bucket
+bounds + binary search + position fetch) — and on TPU every random gather
+pass over a large HBM table costs the same regardless of row width
+(measured ~10 ms per 1M elements on v5e). This module collapses K1's whole
+per-variant query to TWO row gathers:
+
+  - every *distinct* anchor-length k-mer is pre-aggregated at build time to
+    the only statistics K1 ever needs: (count, first_position) — SPEC.md §2
+    reduces best-hit selection to range arithmetic over these;
+  - distinct k-mers go into a bucketized 2-choice cuckoo hash table:
+    buckets of 4 slots, each slot an int32x4 row (p12, s8, count, first_pos);
+  - lookup = hash twice, gather two 64-byte bucket rows, compare keys,
+    one masked sum/min over the 8 candidate slots. Exact by key equality —
+    never probabilistic.
+
+Sharding: keys are range-partitioned by prefix12 exactly as
+index/shard.py partitions the sorted index, so each distinct k-mer lives
+on exactly one shard and the cross-shard combination stays psum(count) /
+pmin(first_pos) (SPEC.md §2). Per-shard tables keep their own true bucket
+count in `meta`; padding rows (key -1) are never addressed or matched.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from find_circ2_tpu.config import Config
+from find_circ2_tpu.index.build import SeedIndex
+
+SLOTS = 4          # slots per bucket (one 64B row)
+LANES = 4          # int32 lanes per slot: p12, s8, count, first_pos
+EMPTY_KEY = -1
+
+
+def mix_hash(p12_u32, s8_u32, salt_u32):
+    """Multiply-xor-shift mixer on uint32 lanes; identical semantics for
+    numpy and jax.numpy inputs (both wrap mod 2^32). [FROZEN with the
+    table artifact: tables store the salts they were built with.]
+
+    Constants are materialized in the input's own uint32 scalar type:
+    JAX refuses python-int literals above int32 max next to uint32
+    arrays, and numpy scalar (0-d) uint32 arithmetic warns on wrap."""
+    if isinstance(p12_u32, (np.ndarray, np.generic)):
+        u32 = np.uint32
+    else:
+        import jax.numpy as jnp
+        u32 = jnp.uint32
+    c1, c2, c3 = u32(0x9E3779B1), u32(0x85EBCA77), u32(0xC2B2AE3D)
+    h = (p12_u32 * c1) ^ (s8_u32 * c2) ^ salt_u32
+    h = (h ^ (h >> 15)) * c3
+    h = h ^ (h >> 13)
+    return h
+
+
+@dataclass
+class QueryTable:
+    """Bucketized cuckoo table over distinct k-mers.
+
+    table: int32 [T_pad, SLOTS * LANES]; rows >= n_buckets are padding.
+    meta:  int32 [3] = (salt0, salt1, n_buckets) — salts are uint32 bit
+           patterns stored as int32.
+    """
+    table: np.ndarray
+    meta: np.ndarray
+
+    @property
+    def n_buckets(self) -> int:
+        return int(np.uint32(self.meta[2]))
+
+
+def distinct_kmers(index: SeedIndex):
+    """(p12, s8, count, first_pos) per distinct k-mer, from the sorted
+    SeedIndex (positions within a (p12, s8) group are ascending, so the
+    group head is the smallest position)."""
+    offs = index.offsets.astype(np.int64)
+    n = int(index.positions.size)
+    if n == 0:
+        z = np.zeros(0, np.int32)
+        return z, z, z, z
+    counts = np.diff(offs).astype(np.int64)
+    p12_all = np.repeat(np.arange(index.n_buckets, dtype=np.int32), counts)
+    s8_all = index.suffix_vals.astype(np.int32)
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = (p12_all[1:] != p12_all[:-1]) | (s8_all[1:] != s8_all[:-1])
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.append(starts, n)).astype(np.int32)
+    return (p12_all[starts], s8_all[starts], cnt,
+            index.positions[starts].astype(np.int64).astype(np.int32))
+
+
+def _derive_salts(seed: int, attempt: int) -> np.ndarray:
+    rng = np.random.default_rng((seed << 8) + attempt)
+    return rng.integers(0, 2 ** 32, 2, dtype=np.uint64).astype(np.uint32)
+
+
+def _try_place(p12, s8, T: int, salts: np.ndarray, rng,
+               max_rounds: int = 256):
+    """Parallel random-walk cuckoo insertion. Returns slot->key_id array
+    of shape [T * SLOTS] (EMPTY_KEY where free) or None on failure."""
+    D = p12.size
+    up = p12.astype(np.uint32)
+    us = s8.astype(np.uint32)
+    tT = np.uint32(T)
+    h = np.stack([
+        (mix_hash(up, us, salts[0]) % tT).astype(np.int64),
+        (mix_hash(up, us, salts[1]) % tT).astype(np.int64),
+    ])                                                    # [2, D]
+    slot_key = np.full(T * SLOTS, EMPTY_KEY, np.int64)
+    side = np.zeros(D, np.int8)
+    unplaced = np.arange(D)
+    lanes = np.arange(SLOTS)
+    for _ in range(max_rounds):
+        if unplaced.size == 0:
+            return slot_key
+        b = h[side[unplaced], unplaced]
+        rows = slot_key[b[:, None] * SLOTS + lanes]       # [U, SLOTS]
+        empty = rows < 0
+        has_empty = empty.any(axis=1)
+        r = rng.random((unplaced.size, SLOTS))
+        pick_empty = np.argmax(empty * (1.0 + r), axis=1)
+        pick_evict = rng.integers(0, SLOTS, unplaced.size)
+        s = np.where(has_empty, pick_empty, pick_evict)
+        target = b * SLOTS + s
+        prev = slot_key[target]
+        slot_key[target] = unplaced                       # last write wins
+        winner = slot_key[target] == unplaced
+        evicted = prev[winner & (prev >= 0)]
+        losers = unplaced[~winner]
+        side[losers] ^= 1
+        side[evicted] ^= 1
+        unplaced = np.concatenate([losers, evicted])
+    return None
+
+
+def build_query_table(index: SeedIndex, cfg: Config = Config(), *,
+                      load: float = 0.7, seed: int = 0,
+                      pad_buckets: int | None = None) -> QueryTable:
+    """Aggregate distinct k-mers and place them in a cuckoo table.
+
+    Deterministic given (index, seed). `pad_buckets` pads the table with
+    unaddressable empty rows (sharded stacking)."""
+    p12, s8, cnt, fpos = distinct_kmers(index)
+    return _build_from_keys(p12, s8, cnt, fpos, load=load, seed=seed,
+                            pad_buckets=pad_buckets)
+
+
+def _build_from_keys(p12, s8, cnt, fpos, *, load: float, seed: int,
+                     pad_buckets: int | None = None) -> QueryTable:
+    D = int(p12.size)
+    T = max(1, int(np.ceil(D / (SLOTS * load))))
+    slot_key = None
+    salts = _derive_salts(seed, 0)
+    for attempt in range(24):
+        salts = _derive_salts(seed, attempt)
+        rng = np.random.default_rng((seed << 16) ^ (attempt << 1) ^ 1)
+        slot_key = _try_place(p12, s8, T, salts, rng)
+        if slot_key is not None:
+            break
+        T = int(T * 1.2) + 1
+    if slot_key is None:
+        raise RuntimeError(f"cuckoo build failed for {D} keys")
+    T_pad = max(T, pad_buckets or 0)
+    table = np.full((T_pad * SLOTS, LANES), EMPTY_KEY, np.int32)
+    placed = np.flatnonzero(slot_key >= 0)
+    kid = slot_key[placed]
+    table[placed, 0] = p12[kid]
+    table[placed, 1] = s8[kid]
+    table[placed, 2] = cnt[kid]
+    table[placed, 3] = fpos[kid]
+    meta = np.array([np.uint32(salts[0]).view(np.int32),
+                     np.uint32(salts[1]).view(np.int32), T], np.int32)
+    return QueryTable(table=table.reshape(T_pad, SLOTS * LANES), meta=meta)
+
+
+def shard_query_table(index: SeedIndex, n_shards: int,
+                      cfg: Config = Config(), *, load: float = 0.7,
+                      seed: int = 0):
+    """Range-partition distinct k-mers by prefix12 (same ranges as
+    index/shard.py) and build one QueryTable per shard, padded to a common
+    bucket count.
+
+    Returns (tables int32 [n_shards, T_pad, SLOTS*LANES],
+             metas int32 [n_shards, 3])."""
+    p12, s8, cnt, fpos = distinct_kmers(index)
+    nb = index.n_buckets
+    S = -(-nb // n_shards)
+    bounds = np.searchsorted(p12, np.arange(n_shards + 1) * S)
+    parts = []
+    for i in range(n_shards):
+        lo, hi = bounds[i], bounds[i + 1]
+        parts.append(_build_from_keys(p12[lo:hi], s8[lo:hi], cnt[lo:hi],
+                                      fpos[lo:hi], load=load,
+                                      seed=seed + i))
+    T_pad = max(qt.table.shape[0] for qt in parts)
+    tables = np.full((n_shards, T_pad, SLOTS * LANES), EMPTY_KEY, np.int32)
+    metas = np.zeros((n_shards, 3), np.int32)
+    for i, qt in enumerate(parts):
+        tables[i, :qt.table.shape[0]] = qt.table
+        metas[i] = qt.meta
+    return tables, metas

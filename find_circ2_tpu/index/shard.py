@@ -1,4 +1,9 @@
-"""K-mer-range sharding of the seed index across TPU chips.
+"""K-mer-range sharding of the *sorted* seed index (host artifact form).
+
+The device runtime consumes the query-optimized hash-table form instead
+(index/hashtable.shard_query_table, same prefix ranges); this partitioner
+remains for host-side artifact distribution and as the reference for the
+range semantics.
 
 This is the tensor-parallel analog mandated by BASELINE.json:5/10 and
 SURVEY.md §2.4: the *index* (bucket offsets + position lists — the memory

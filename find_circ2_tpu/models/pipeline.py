@@ -37,42 +37,43 @@ from find_circ2_tpu.index.build import SeedIndex, build_index
 from find_circ2_tpu.io.genome import Genome
 from find_circ2_tpu.io.twobit import codes_to_seq, seq_to_codes
 from find_circ2_tpu.models.oracle import ReadCall
-from find_circ2_tpu.ops.anchor_align import (align_anchors,
-    candidate_stats, finalize_hits, variant_metadata)
+from find_circ2_tpu.ops.anchor_align import align_anchors
 from find_circ2_tpu.ops.breakpoint import breakpoint_search
 from find_circ2_tpu.ops.packed import gather_window, pack_nibbles
 
 
 @dataclass(frozen=True)
 class DeviceIndex:
-    """Genome + seed index as device arrays (genome nibble-packed)."""
+    """Genome + k-mer query table as device arrays (genome nibble-packed,
+    table per index/hashtable.py)."""
     gpacked: jax.Array        # uint32 [~G/8], ops/packed.py layout
     nbases: int               # total codes (static for jit)
-    offsets: jax.Array        # int32 [4^prefix_len + 1]
-    suffix_vals: jax.Array    # int32 [P] suffix value per position
-    positions: jax.Array      # int32 [P]
+    table: jax.Array          # int32 [T, SLOTS*LANES] cuckoo table
+    meta: jax.Array           # int32 [3] = (salt0, salt1, n_buckets)
     chrom_offsets: jax.Array  # int32 [n_chroms]
-    bsearch_iters: int        # static binary-search rounds (index metadata)
 
     @classmethod
     def build(cls, genome: Genome, index: SeedIndex | None = None,
-              cfg: Config = Config()) -> "DeviceIndex":
+              cfg: Config = Config(),
+              qtable: "QueryTable | None" = None) -> "DeviceIndex":
+        from find_circ2_tpu.index.hashtable import build_query_table
         if index is None:
             index = build_index(genome, cfg)
         if len(genome) >= 2 ** 31:
             raise ValueError("single-shard genome must fit int32 positions; "
                              "use the sharded path (parallel/)")
+        if qtable is None:
+            qtable = index.qtable
+        if qtable is None:
+            qtable = build_query_table(index, cfg)
+            index.qtable = qtable
         return cls(
             gpacked=jnp.asarray(pack_nibbles(genome.codes)),
             nbases=len(genome),
-            offsets=jnp.asarray(index.offsets.astype(np.int64)
-                                .astype(np.int32)),
-            suffix_vals=jnp.asarray(index.suffix_vals.astype(np.int32)),
-            positions=jnp.asarray(index.positions.astype(np.int64)
-                                  .astype(np.int32)),
+            table=jnp.asarray(qtable.table),
+            meta=jnp.asarray(qtable.meta),
             chrom_offsets=jnp.asarray(
                 genome.chrom_offsets.astype(np.int32)),
-            bsearch_iters=index.bsearch_iters,
         )
 
 
@@ -97,57 +98,33 @@ def read_anchors(reads: jnp.ndarray, lens: jnp.ndarray, cfg: Config):
     return anchors_a, anchors_b
 
 
-@partial(jax.jit,
-         static_argnames=("cfg", "prefilter", "nbases", "bsearch_iters"))
+@partial(jax.jit, static_argnames=("cfg", "prefilter", "nbases"))
 def detect_batch(
     gpacked: jnp.ndarray,
     nbases: int,
-    offsets: jnp.ndarray,
-    suffix_vals: jnp.ndarray,
-    positions: jnp.ndarray,
+    table: jnp.ndarray,        # int32 [T, SLOTS*LANES] k-mer hash table
+    meta: jnp.ndarray,         # int32 [3] = (salt0, salt1, n_buckets)
     chrom_offsets: jnp.ndarray,
     reads: jnp.ndarray,        # uint8 [B, Lp], RPAD-padded
     lens: jnp.ndarray,         # int32 [B]; rows with lens==0 are padding
     cfg: Config,
-    bsearch_iters: int = 32,
     prefilter: bool = True,
 ):
-    """Full per-batch detection step in ONE jitted program.
-
-    Used where a single jittable function is required (graft entry,
-    sharded step composition). The host streaming paths use
-    `detect_batch_phased` instead: identical results, ~4.5x faster —
-    XLA's TPU backend schedules the fused K1+finalize+core graph poorly
-    (docs/DESIGN.md "XLA pitfalls"), while the three-program split keeps
-    every phase on its fast emitters at the cost of two extra dispatches.
-    """
+    """Full per-batch detection step in ONE jitted program: K1 anchor
+    alignment (hash-table lookups), best-hit finalize, pairing +
+    prefilter + K2 breakpoint search."""
     anchors_a, anchors_b = read_anchors(reads, lens, cfg)
-    hits_a = align_anchors(offsets, suffix_vals, positions, anchors_a,
-                           cfg, bsearch_iters)
-    hits_b = align_anchors(offsets, suffix_vals, positions, anchors_b,
-                           cfg, bsearch_iters)
+    hits_a = align_anchors(table, meta, anchors_a, cfg)
+    hits_b = align_anchors(table, meta, anchors_b, cfg)
     return detect_core(gpacked, nbases, chrom_offsets, reads, lens,
                        hits_a, hits_b, cfg, prefilter)
 
 
-@partial(jax.jit, static_argnames=("cfg", "bsearch_iters"))
-def _stats_phase(offsets, suffix_vals, positions, reads, lens, cfg,
-                 bsearch_iters):
-    anchors_a, anchors_b = read_anchors(reads, lens, cfg)
-    ca, fa, _, _ = candidate_stats(
-        offsets, suffix_vals, positions, anchors_a, cfg, bsearch_iters)
-    cb, fb, _, _ = candidate_stats(
-        offsets, suffix_vals, positions, anchors_b, cfg, bsearch_iters)
-    return ca, fa, cb, fb
-
-
 @partial(jax.jit, static_argnames=("cfg",))
-def _finalize_phase(ca, fa, cb, fb, cfg):
-    # Variant metadata is reconstructed here rather than routed through
-    # the stats phase outputs (see ops/anchor_align.variant_metadata).
-    mm_v, st_v = variant_metadata(cfg)
-    return (finalize_hits(ca, fa, mm_v, st_v, cfg),
-            finalize_hits(cb, fb, mm_v, st_v, cfg))
+def _align_phase(table, meta, reads, lens, cfg):
+    anchors_a, anchors_b = read_anchors(reads, lens, cfg)
+    return (align_anchors(table, meta, anchors_a, cfg),
+            align_anchors(table, meta, anchors_b, cfg))
 
 
 @partial(jax.jit, static_argnames=("cfg", "prefilter", "nbases"))
@@ -159,11 +136,11 @@ def _core_phase(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
 
 def detect_batch_phased(dindex: "DeviceIndex", reads, lens, cfg: Config,
                         prefilter: bool = True):
-    """Three-program detection step (see detect_batch docstring)."""
-    stats = _stats_phase(dindex.offsets, dindex.suffix_vals,
-                         dindex.positions, reads, lens, cfg,
-                         dindex.bsearch_iters)
-    hits_a, hits_b = _finalize_phase(*stats, cfg)
+    """Two-program detection step (K1+finalize, then core). Identical
+    results to `detect_batch`; kept split so each program stays on XLA's
+    fast emitters (docs/DESIGN.md "XLA pitfalls")."""
+    hits_a, hits_b = _align_phase(dindex.table, dindex.meta, reads, lens,
+                                  cfg)
     return _core_phase(dindex.gpacked, dindex.nbases,
                        dindex.chrom_offsets, reads, lens, hits_a, hits_b,
                        cfg, prefilter)

@@ -1,19 +1,21 @@
-"""K1 v2: batched anchor alignment by neighborhood-enumerated exact
+"""K1 v3: batched anchor alignment by neighborhood-enumerated exact
 20-mer search — the TPU-native replacement for the reference's bowtie2
 anchor pass (SURVEY.md §3.4; SPEC.md §2 freezes the exact contract).
 
 Per anchor and strand, every 20-mer within Hamming distance A_MM (=1) of
 the query is enumerated (1 + 3a = 61 variants) and resolved *exactly* in
-the two-level index (direct-addressed 12-base prefix + binary search over
-a 16-bit packed suffix, index/build.py). Each indexed position matches
-exactly one variant, so candidates are disjoint by construction, every
-candidate's mismatch count equals its variant's enumeration distance, and
-K1 touches no genome sequence at all: per-anchor statistics are pure
-range arithmetic. Shapes stay flat ([B, 2*V]) — no trailing window axes
-to fight TPU lane layouts.
+the k-mer hash table (index/hashtable.py), whose slots carry the
+pre-aggregated (count, first_pos) of each distinct 20-mer. Each indexed
+position matches exactly one variant, so candidates are disjoint by
+construction, every candidate's mismatch count equals its variant's
+enumeration distance, and K1 touches no genome sequence at all: per-anchor
+statistics are pure range arithmetic over TWO bucket-row gathers per
+variant (v2 did ~11 dependent gather passes of binary search; on TPU each
+random gather pass over an HBM table costs ~10 ms per 1M elements
+regardless of row width, so this is the difference between ~25 ms and
+~130 ms per 4096-read batch). Shapes stay flat ([B, 2*V]).
 
-Positions are int32 (single-shard genomes < 2^31; the sharded path keeps
-per-shard local coordinates).
+Positions are int32 global coordinates (genomes < 2^31 per shard).
 """
 
 from __future__ import annotations
@@ -102,59 +104,46 @@ def variant_metadata(cfg: Config):
     return mm_v, strand_v
 
 
-def _lower_bound(suffix_vals, lo, hi, target, iters: int):
-    """Vectorized fixed-iteration lower bound of `target` within
-    suffix_vals[lo:hi] (sorted); iters >= ceil(log2(max range + 1))."""
-    P = suffix_vals.shape[0]
-    l, h = lo, hi
-    for _ in range(iters):
-        active = l < h
-        mid = (l + h) >> 1
-        v = jnp.take(suffix_vals, jnp.clip(mid, 0, P - 1), axis=0)
-        go = active & (v < target)
-        l = jnp.where(go, mid + 1, l)
-        h = jnp.where(active & ~go, mid, h)
-    return l
-
-
 def candidate_stats(
-    offsets: jnp.ndarray,      # int32 [n_local + 1] prefix bucket offsets
-    suffix_vals: jnp.ndarray,  # int32/uint16 [P] suffix per position
-    positions: jnp.ndarray,    # int32 [P] window starts
+    table: jnp.ndarray,        # int32 [T_pad, SLOTS*LANES] cuckoo table
+    meta: jnp.ndarray,         # int32 [3] = (salt0, salt1, n_buckets)
     anchors: jnp.ndarray,      # uint8 [B, a]
     cfg: Config,
-    bsearch_iters: int,
-    kmer_base=0,               # first prefix12 owned by this index shard
 ):
     """Per-variant (count, first_pos) plus static (mm, strand) metadata.
 
     Returns (count, first_pos) of shape [B, 2V] and (mm_v, strand_v) of
-    shape [2V] (broadcast against the batch in finalize_hits). With a
-    k-mer-range index shard, variants outside [kmer_base, kmer_base +
-    n_local) return count 0; each (prefix, suffix) key lives on exactly
-    one shard, so cross-shard combination is psum(count) /
-    pmin(first_pos) (SPEC.md §2).
-    """
-    P = positions.shape[0]
-    n_local = offsets.shape[0] - 1
-    p12, s8, mm_v, strand_v, valid = enumerate_variants(anchors, cfg)
+    shape [2V] (broadcast against the batch in finalize_hits). Each
+    distinct k-mer key lives in exactly one shard's table (range
+    partition, index/hashtable.shard_query_table), so with sharded tables
+    unowned/absent variants naturally return count 0 and cross-shard
+    combination is psum(count) / pmin(first_pos) (SPEC.md §2).
 
-    local = p12 - kmer_base
-    owned = (local >= 0) & (local < n_local) & valid
-    local = jnp.clip(local, 0, n_local - 1)
-    lo = jnp.take(offsets, local, axis=0).astype(jnp.int32)
-    hi = jnp.take(offsets, local + 1, axis=0).astype(jnp.int32)
-    sv = s8.astype(jnp.int32)
-    left = _lower_bound(suffix_vals, lo, hi, sv, bsearch_iters)
-    right = _lower_bound(suffix_vals, lo, hi, sv + 1, bsearch_iters)
-    count = jnp.where(owned, right - left, 0)
+    Two bucket-row gathers per variant; key comparison is exact, so the
+    hash is never probabilistic.
+    """
+    from find_circ2_tpu.index.hashtable import LANES, SLOTS, mix_hash
+
+    p12, s8, mm_v, strand_v, valid = enumerate_variants(anchors, cfg)
+    B, V2 = p12.shape
+    n_buckets = meta[2].astype(jnp.uint32)
+    salt0 = meta[0].astype(jnp.uint32)
+    salt1 = meta[1].astype(jnp.uint32)
+    up = p12.astype(jnp.uint32)
+    us = s8.astype(jnp.uint32)
+    h1 = (mix_hash(up, us, salt0) % n_buckets).astype(jnp.int32)
+    h2 = (mix_hash(up, us, salt1) % n_buckets).astype(jnp.int32)
+    g1 = jnp.take(table, h1, axis=0).reshape(B, V2, SLOTS, LANES)
+    g2 = jnp.take(table, h2, axis=0).reshape(B, V2, SLOTS, LANES)
+    g = jnp.concatenate([g1, g2], axis=2)              # [B, 2V, 2S, LANES]
+    match = (g[..., 0] == p12[..., None]) & (g[..., 1] == s8[..., None])
+    count = jnp.sum(jnp.where(match, g[..., 2], 0), axis=-1)
+    first_pos = jnp.min(jnp.where(match, g[..., 3], LARGE_POS), axis=-1)
+    count = jnp.where(valid, count, 0)
     # Repetitive-20-mer guard [FROZEN].
     count = jnp.where(count > cfg.max_bucket, 0, count)
-    first_pos = jnp.take(positions, jnp.clip(left, 0, P - 1), axis=0)
-    # NOTE: first_pos is garbage where count == 0 — finalize_hits never
-    # reads those slots single-shard, and masks them before its pmin in
-    # the sharded path. Masking here (a where on the gather output) would
-    # push XLA's TPU gather onto a ~1000x slower scalar emitter.
+    # NOTE: first_pos is LARGE_POS where count == 0 — safe for both the
+    # single-shard argmin and the sharded pmin.
     return count, first_pos, mm_v, strand_v
 
 
@@ -246,15 +235,13 @@ def finalize_hits(count, first_pos, mm_v, strand_v, cfg: Config,
                       qual=qual)
 
 
-def align_anchors(offsets, suffix_vals, positions, anchors, cfg: Config,
-                  bsearch_iters: int, kmer_base=0,
+def align_anchors(table, meta, anchors, cfg: Config,
                   axis_name: str | None = None) -> AnchorHits:
     """SPEC.md §2 anchor alignment for a batch of anchors.
 
     Single-shard when axis_name is None; with axis_name set, each caller
-    holds one prefix-range index shard and results combine over that mesh
+    holds one prefix-range table shard and results combine over that mesh
     axis (bit-identical by disjointness of exact-20-mer keys).
     """
-    stats = candidate_stats(offsets, suffix_vals, positions, anchors, cfg,
-                            bsearch_iters, kmer_base)
+    stats = candidate_stats(table, meta, anchors, cfg)
     return finalize_hits(*stats, cfg, axis_name=axis_name)

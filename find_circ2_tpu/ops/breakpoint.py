@@ -106,10 +106,13 @@ def breakpoint_search(
     # Signal bases, via the already-gathered windows (no extra gathers):
     # donor-side dinuc  = genome[donor : donor+2]   = GA[k : k+2]
     # acceptor-side dinuc = genome[acceptor-2 : acceptor] = GBw[k : k+2]
-    d0 = jnp.take_along_axis(GA, clamp(k_ax, 0, Lp + 1), axis=1)
-    d1 = jnp.take_along_axis(GA, clamp(k_ax + 1, 0, Lp + 1), axis=1)
-    a0 = jnp.take_along_axis(GBw, clamp(k_ax, 0, Lp + 1), axis=1)
-    a1 = jnp.take_along_axis(GBw, clamp(k_ax + 1, 0, Lp + 1), axis=1)
+    # k_ax is a broadcast arange, so indexing by it is a pure SLICE —
+    # take_along_axis here would emit four [B, Lp+1] gather passes
+    # (~7 ms each per 4096-read batch on v5e; docs/DESIGN.md).
+    d0 = GA[:, :Lp + 1]
+    d1 = GA[:, 1:Lp + 2]
+    a0 = GBw[:, :Lp + 1]
+    a1 = GBw[:, 1:Lp + 2]
 
     # SPEC §4 canonical patterns, genome-forward:
     #   sense + : donor dinuc GT, acceptor dinuc AG

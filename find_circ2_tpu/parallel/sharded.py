@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from find_circ2_tpu.config import Config
 from find_circ2_tpu.index.build import SeedIndex
-from find_circ2_tpu.index.shard import ShardedIndex, shard_index
+from find_circ2_tpu.index.hashtable import shard_query_table
 from find_circ2_tpu.io.genome import Genome
 from find_circ2_tpu.models.pipeline import detect_core, read_anchors
 from find_circ2_tpu.ops.anchor_align import align_anchors
@@ -32,34 +32,25 @@ from find_circ2_tpu.ops.packed import pack_nibbles
 
 
 def sharded_detect_fn(mesh: Mesh, cfg: Config, nbases: int,
-                      prefilter: bool = True,
-                      kmers_per_shard: int | None = None,
-                      bsearch_iters: int = 32):
+                      prefilter: bool = True):
     """Build the jitted sharded detect step over `mesh`.
 
     Signature of the returned fn:
-        fn(gpacked[W], offsets[nI, S+1], suffix_vals[nI, Pmax],
-           positions[nI, Pmax], chrom_offsets[C], reads[B, Lp], lens[B])
+        fn(gpacked[W], tables[nI, T, SLOTS*LANES], metas[nI, 3],
+           chrom_offsets[C], reads[B, Lp], lens[B])
         -> dict of [B] arrays
     B must divide evenly by the mesh's "data" size.
     """
-    S = kmers_per_shard
 
-    def step(gpacked, offsets, suffix_vals, positions, chrom_offsets,
-             reads, lens):
+    def step(gpacked, tables, metas, chrom_offsets, reads, lens):
         # Leading shard axes arrive with size 1 inside shard_map.
-        offsets_l = offsets[0]
-        suffix_l = suffix_vals[0]
-        positions_l = positions[0]
-        my_shard = jax.lax.axis_index("index")
-        kmer_base = my_shard * S
+        table_l = tables[0]
+        meta_l = metas[0]
         anchors_a, anchors_b = read_anchors(reads, lens, cfg)
-        hits_a = align_anchors(offsets_l, suffix_l, positions_l,
-                               anchors_a, cfg, bsearch_iters,
-                               kmer_base=kmer_base, axis_name="index")
-        hits_b = align_anchors(offsets_l, suffix_l, positions_l,
-                               anchors_b, cfg, bsearch_iters,
-                               kmer_base=kmer_base, axis_name="index")
+        hits_a = align_anchors(table_l, meta_l, anchors_a, cfg,
+                               axis_name="index")
+        hits_b = align_anchors(table_l, meta_l, anchors_b, cfg,
+                               axis_name="index")
         # hits_* are replicated across "index" after the collectives; the
         # rest of the pipeline (prefilter, pairing, K2) runs data-parallel.
         return detect_core(gpacked, nbases, chrom_offsets, reads, lens,
@@ -68,7 +59,7 @@ def sharded_detect_fn(mesh: Mesh, cfg: Config, nbases: int,
     smapped = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P("index"), P("index"), P("index"), P(),
+        in_specs=(P(), P("index"), P("index"), P(),
                   P("data"), P("data")),
         out_specs=P("data"),
         check_vma=False,
@@ -77,9 +68,7 @@ def sharded_detect_fn(mesh: Mesh, cfg: Config, nbases: int,
 
 
 def sharded_detect_merge_fn(mesh: Mesh, cfg: Config, nbases: int,
-                            prefilter: bool = True,
-                            kmers_per_shard: int | None = None,
-                            bsearch_iters: int = 32):
+                            prefilter: bool = True):
     """Like sharded_detect_fn, but additionally performs the collective
     junction dedup/merge on device (BASELINE.json:5/10): each data shard
     collapses its per-read records with a sort+segment combine, the
@@ -87,22 +76,15 @@ def sharded_detect_merge_fn(mesh: Mesh, cfg: Config, nbases: int,
     gathered stack is re-merged — returning one replicated junction
     table. Merging is associative/commutative on integers, so the result
     is bit-identical to a single-device merge."""
-    S = kmers_per_shard
 
-    def step(gpacked, offsets, suffix_vals, positions, chrom_offsets,
-             reads, lens):
-        offsets_l = offsets[0]
-        suffix_l = suffix_vals[0]
-        positions_l = positions[0]
-        my_shard = jax.lax.axis_index("index")
-        kmer_base = my_shard * S
+    def step(gpacked, tables, metas, chrom_offsets, reads, lens):
+        table_l = tables[0]
+        meta_l = metas[0]
         anchors_a, anchors_b = read_anchors(reads, lens, cfg)
-        hits_a = align_anchors(offsets_l, suffix_l, positions_l,
-                               anchors_a, cfg, bsearch_iters,
-                               kmer_base=kmer_base, axis_name="index")
-        hits_b = align_anchors(offsets_l, suffix_l, positions_l,
-                               anchors_b, cfg, bsearch_iters,
-                               kmer_base=kmer_base, axis_name="index")
+        hits_a = align_anchors(table_l, meta_l, anchors_a, cfg,
+                               axis_name="index")
+        hits_b = align_anchors(table_l, meta_l, anchors_b, cfg,
+                               axis_name="index")
         res = detect_core(gpacked, nbases, chrom_offsets, reads, lens,
                           hits_a, hits_b, cfg, prefilter)
         local = merge_junctions(res, lens, cfg)
@@ -113,7 +95,7 @@ def sharded_detect_merge_fn(mesh: Mesh, cfg: Config, nbases: int,
     smapped = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P("index"), P("index"), P("index"), P(),
+        in_specs=(P(), P("index"), P("index"), P(),
                   P("data"), P("data")),
         out_specs=P(),
         check_vma=False,
@@ -131,22 +113,17 @@ class ShardedEngine:
         self.mesh = mesh
         n_index = mesh.shape["index"]
         self.n_data = mesh.shape["data"]
-        sh: ShardedIndex = shard_index(index, n_index)
-        self.fn = sharded_detect_fn(mesh, cfg, len(genome), prefilter,
-                                    kmers_per_shard=sh.kmers_per_shard,
-                                    bsearch_iters=sh.bsearch_iters)
-        self.merge_fn = sharded_detect_merge_fn(
-            mesh, cfg, len(genome), prefilter,
-            kmers_per_shard=sh.kmers_per_shard,
-            bsearch_iters=sh.bsearch_iters)
+        tables, metas = shard_query_table(index, n_index, cfg)
+        self.fn = sharded_detect_fn(mesh, cfg, len(genome), prefilter)
+        self.merge_fn = sharded_detect_merge_fn(mesh, cfg, len(genome),
+                                                prefilter)
 
         def put(x, spec):
             return jax.device_put(x, NamedSharding(mesh, spec))
 
         self.gpacked = put(pack_nibbles(genome.codes), P())
-        self.offsets = put(sh.offsets, P("index"))
-        self.suffix_vals = put(sh.suffix_vals, P("index"))
-        self.positions = put(sh.positions, P("index"))
+        self.tables = put(tables, P("index"))
+        self.metas = put(metas, P("index"))
         self.chrom_offsets = put(
             genome.chrom_offsets.astype(np.int32), P())
 
@@ -156,8 +133,8 @@ class ShardedEngine:
             reads, NamedSharding(self.mesh, P("data")))
         lens_d = jax.device_put(
             lens, NamedSharding(self.mesh, P("data")))
-        out = self.fn(self.gpacked, self.offsets, self.suffix_vals,
-                      self.positions, self.chrom_offsets, reads_d, lens_d)
+        out = self.fn(self.gpacked, self.tables, self.metas,
+                      self.chrom_offsets, reads_d, lens_d)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def detect_merged(self, reads: np.ndarray, lens: np.ndarray):
@@ -166,7 +143,6 @@ class ShardedEngine:
             reads, NamedSharding(self.mesh, P("data")))
         lens_d = jax.device_put(
             lens, NamedSharding(self.mesh, P("data")))
-        out = self.merge_fn(self.gpacked, self.offsets, self.suffix_vals,
-                            self.positions, self.chrom_offsets, reads_d,
-                            lens_d)
+        out = self.merge_fn(self.gpacked, self.tables, self.metas,
+                            self.chrom_offsets, reads_d, lens_d)
         return {k: np.asarray(v) for k, v in out.items()}

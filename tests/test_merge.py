@@ -35,10 +35,9 @@ def test_device_merge_matches_host_aggregation():
                    n_contiguous=8, n_random=4, err_rate=0.3)
     idx, dindex, agg = _host_table(sim, CFG)
     reads, lens = _batchify(sim.reads, CFG, 128)
-    res = detect_batch(dindex.gpacked, dindex.nbases, dindex.offsets,
-                       dindex.suffix_vals, dindex.positions,
-                       dindex.chrom_offsets, reads, lens, CFG,
-                       dindex.bsearch_iters, True)
+    res = detect_batch(dindex.gpacked, dindex.nbases, dindex.table,
+                       dindex.meta, dindex.chrom_offsets, reads, lens,
+                       CFG, True)
     table = {k: np.asarray(v) for k, v in
              merge_junctions(res, jnp.asarray(lens), CFG).items()}
     n_valid = int(table["valid"].sum())
@@ -73,10 +72,9 @@ def test_sharded_collective_merge_matches_single_device():
     dindex = DeviceIndex.build(sim.genome, idx, CFG)
     reads, lens = _batchify(sim.reads, CFG, 64)
 
-    res = detect_batch(dindex.gpacked, dindex.nbases, dindex.offsets,
-                       dindex.suffix_vals, dindex.positions,
-                       dindex.chrom_offsets, reads, lens, CFG,
-                       dindex.bsearch_iters, True)
+    res = detect_batch(dindex.gpacked, dindex.nbases, dindex.table,
+                       dindex.meta, dindex.chrom_offsets, reads, lens,
+                       CFG, True)
     single = {k: np.asarray(v) for k, v in
               merge_junctions(res, jnp.asarray(lens), CFG).items()}
     nv = int(single["valid"].sum())

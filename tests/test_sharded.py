@@ -39,10 +39,9 @@ def test_sharded_matches_single_chip(shape):
     reads, lens = _batchify(sim.reads, CFG, 64)
 
     dindex = DeviceIndex.build(sim.genome, idx, CFG)
-    ref = detect_batch(dindex.gpacked, dindex.nbases, dindex.offsets,
-                       dindex.suffix_vals, dindex.positions,
-                       dindex.chrom_offsets, reads, lens, CFG,
-                       dindex.bsearch_iters, True)
+    ref = detect_batch(dindex.gpacked, dindex.nbases, dindex.table,
+                       dindex.meta, dindex.chrom_offsets, reads, lens,
+                       CFG, True)
     ref = {k: np.asarray(v) for k, v in ref.items()}
 
     mesh = make_mesh(8, shape=shape)

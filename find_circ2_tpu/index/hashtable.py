@@ -7,22 +7,29 @@ on device costs ~11 dependent gather passes per anchor variant (bucket
 bounds + binary search + position fetch) — and on TPU every random gather
 pass over a large HBM table costs the same regardless of row width
 (measured ~10 ms per 1M elements on v5e). This module collapses K1's whole
-per-variant query to TWO row gathers:
+per-variant query to TWO row gathers over HALF the variants:
 
   - every *distinct* anchor-length k-mer is pre-aggregated at build time to
     the only statistics K1 ever needs: (count, first_position) — SPEC.md §2
     reduces best-hit selection to range arithmetic over these;
-  - distinct k-mers go into a bucketized 2-choice cuckoo hash table:
-    buckets of 4 slots, each slot an int32x4 row (p12, s8, count, first_pos);
-  - lookup = hash twice, gather two 64-byte bucket rows, compare keys,
+  - k-mers are stored under their CANONICAL key (lexicographic min of the
+    k-mer and its reverse complement); each slot carries both orientations'
+    payloads: (count_fwd, pos_fwd, count_rc, pos_rc). Since the reverse
+    complement of a 1-mismatch variant of q is a 1-mismatch variant of
+    rc(q), ONE canonical lookup per forward variant yields the statistics
+    of both the '+' and the '-' strand variant — halving gather volume;
+  - distinct canonical k-mers go into a bucketized 2-choice cuckoo hash
+    table: buckets of 4 slots, each slot int32x6
+    (p12, s8, count_f, pos_f, count_r, pos_r);
+  - lookup = hash twice, gather two 96-byte bucket rows, compare keys,
     one masked sum/min over the 8 candidate slots. Exact by key equality —
     never probabilistic.
 
-Sharding: keys are range-partitioned by prefix12 exactly as
-index/shard.py partitions the sorted index, so each distinct k-mer lives
-on exactly one shard and the cross-shard combination stays psum(count) /
-pmin(first_pos) (SPEC.md §2). Per-shard tables keep their own true bucket
-count in `meta`; padding rows (key -1) are never addressed or matched.
+Sharding: canonical keys are range-partitioned by their prefix12, so each
+distinct canonical k-mer lives on exactly one shard and the cross-shard
+combination stays psum(count) / pmin(first_pos) (SPEC.md §2). Per-shard
+tables keep their own true bucket count in `meta`; padding rows (key -1)
+are never addressed or matched.
 """
 
 from __future__ import annotations
@@ -34,9 +41,10 @@ import numpy as np
 from find_circ2_tpu.config import Config
 from find_circ2_tpu.index.build import SeedIndex
 
-SLOTS = 4          # slots per bucket (one 64B row)
-LANES = 4          # int32 lanes per slot: p12, s8, count, first_pos
+SLOTS = 4          # slots per bucket (one 96B row)
+LANES = 6          # int32 lanes per slot: p12, s8, cnt_f, pos_f, cnt_r, pos_r
 EMPTY_KEY = -1
+LARGE_POS = 2 ** 31 - 1
 
 
 def mix_hash(p12_u32, s8_u32, salt_u32):
@@ -96,6 +104,69 @@ def distinct_kmers(index: SeedIndex):
             index.positions[starts].astype(np.int64).astype(np.int32))
 
 
+def rc_kmer(k64: np.ndarray, a: int) -> np.ndarray:
+    """Reverse complement of base-4-packed k-mers (uint64, big-endian
+    digits: first base most significant, SPEC.md §1)."""
+    k = k64.astype(np.uint64).copy()
+    rc = np.zeros_like(k)
+    three = np.uint64(3)
+    two = np.uint64(2)
+    for _ in range(a):
+        rc = (rc << two) | (three - (k & three))
+        k >>= two
+    return rc
+
+
+def canonical_keys(index: SeedIndex):
+    """Distinct CANONICAL k-mers with both orientations' payloads.
+
+    Returns (p12c, s8c, cnt_f, pos_f, cnt_r, pos_r), where the _f fields
+    describe occurrences of the canonical k-mer itself and the _r fields
+    occurrences of its reverse complement; a missing orientation has
+    count 0 / pos LARGE_POS. Palindromic k-mers carry the same payload on
+    both sides."""
+    p12, s8, cnt, fpos = distinct_kmers(index)
+    a = index.anchor_len
+    sk_bits = np.uint64(2 * (a - index.prefix_len))
+    k64 = (p12.astype(np.uint64) << sk_bits) | s8.astype(np.uint64)
+    rc64 = rc_kmer(k64, a)
+    c64 = np.minimum(k64, rc64)
+    swapped = k64 != rc64
+    swapped &= c64 != k64           # True: this entry is the rc side of c
+    palin = k64 == rc64
+
+    order = np.lexsort((swapped, c64))
+    c_s = c64[order]
+    sw_s = swapped[order]
+    cnt_s = cnt[order]
+    pos_s = fpos[order]
+    pal_s = palin[order]
+    n = c_s.size
+    if n == 0:
+        z = np.zeros(0, np.int32)
+        return z, z, z, z, z, z
+    first = np.empty(n, bool)
+    first[0] = True
+    first[1:] = c_s[1:] != c_s[:-1]
+    uid = np.cumsum(first) - 1
+    U = int(uid[-1]) + 1
+    cnt_f = np.zeros(U, np.int32)
+    pos_f = np.full(U, LARGE_POS, np.int32)
+    cnt_r = np.zeros(U, np.int32)
+    pos_r = np.full(U, LARGE_POS, np.int32)
+    fwd = ~sw_s
+    cnt_f[uid[fwd]] = cnt_s[fwd]
+    pos_f[uid[fwd]] = pos_s[fwd]
+    cnt_r[uid[sw_s]] = cnt_s[sw_s]
+    pos_r[uid[sw_s]] = pos_s[sw_s]
+    cnt_r[uid[pal_s]] = cnt_s[pal_s]
+    pos_r[uid[pal_s]] = pos_s[pal_s]
+    cu = c_s[first]
+    p12c = (cu >> sk_bits).astype(np.int32)
+    s8c = (cu & ((np.uint64(1) << sk_bits) - np.uint64(1))).astype(np.int32)
+    return p12c, s8c, cnt_f, pos_f, cnt_r, pos_r
+
+
 def _derive_salts(seed: int, attempt: int) -> np.ndarray:
     rng = np.random.default_rng((seed << 8) + attempt)
     return rng.integers(0, 2 ** 32, 2, dtype=np.uint64).astype(np.uint32)
@@ -143,17 +214,17 @@ def _try_place(p12, s8, T: int, salts: np.ndarray, rng,
 def build_query_table(index: SeedIndex, cfg: Config = Config(), *,
                       load: float = 0.7, seed: int = 0,
                       pad_buckets: int | None = None) -> QueryTable:
-    """Aggregate distinct k-mers and place them in a cuckoo table.
-
-    Deterministic given (index, seed). `pad_buckets` pads the table with
-    unaddressable empty rows (sharded stacking)."""
-    p12, s8, cnt, fpos = distinct_kmers(index)
-    return _build_from_keys(p12, s8, cnt, fpos, load=load, seed=seed,
+    """Aggregate distinct canonical k-mers and place them in a cuckoo
+    table. Deterministic given (index, seed). `pad_buckets` pads the
+    table with unaddressable empty rows (sharded stacking)."""
+    keys = canonical_keys(index)
+    return _build_from_keys(*keys, load=load, seed=seed,
                             pad_buckets=pad_buckets)
 
 
-def _build_from_keys(p12, s8, cnt, fpos, *, load: float, seed: int,
-                     pad_buckets: int | None = None) -> QueryTable:
+def _build_from_keys(p12, s8, cnt_f, pos_f, cnt_r, pos_r, *, load: float,
+                     seed: int, pad_buckets: int | None = None
+                     ) -> QueryTable:
     D = int(p12.size)
     T = max(1, int(np.ceil(D / (SLOTS * load))))
     slot_key = None
@@ -173,8 +244,10 @@ def _build_from_keys(p12, s8, cnt, fpos, *, load: float, seed: int,
     kid = slot_key[placed]
     table[placed, 0] = p12[kid]
     table[placed, 1] = s8[kid]
-    table[placed, 2] = cnt[kid]
-    table[placed, 3] = fpos[kid]
+    table[placed, 2] = cnt_f[kid]
+    table[placed, 3] = pos_f[kid]
+    table[placed, 4] = cnt_r[kid]
+    table[placed, 5] = pos_r[kid]
     meta = np.array([np.uint32(salts[0]).view(np.int32),
                      np.uint32(salts[1]).view(np.int32), T], np.int32)
     return QueryTable(table=table.reshape(T_pad, SLOTS * LANES), meta=meta)
@@ -183,22 +256,21 @@ def _build_from_keys(p12, s8, cnt, fpos, *, load: float, seed: int,
 def shard_query_table(index: SeedIndex, n_shards: int,
                       cfg: Config = Config(), *, load: float = 0.7,
                       seed: int = 0):
-    """Range-partition distinct k-mers by prefix12 (same ranges as
-    index/shard.py) and build one QueryTable per shard, padded to a common
-    bucket count.
+    """Range-partition distinct canonical k-mers by prefix12 and build
+    one QueryTable per shard, padded to a common bucket count.
 
     Returns (tables int32 [n_shards, T_pad, SLOTS*LANES],
              metas int32 [n_shards, 3])."""
-    p12, s8, cnt, fpos = distinct_kmers(index)
+    p12, s8, cnt_f, pos_f, cnt_r, pos_r = canonical_keys(index)
     nb = index.n_buckets
     S = -(-nb // n_shards)
     bounds = np.searchsorted(p12, np.arange(n_shards + 1) * S)
     parts = []
     for i in range(n_shards):
         lo, hi = bounds[i], bounds[i + 1]
-        parts.append(_build_from_keys(p12[lo:hi], s8[lo:hi], cnt[lo:hi],
-                                      fpos[lo:hi], load=load,
-                                      seed=seed + i))
+        parts.append(_build_from_keys(
+            p12[lo:hi], s8[lo:hi], cnt_f[lo:hi], pos_f[lo:hi],
+            cnt_r[lo:hi], pos_r[lo:hi], load=load, seed=seed + i))
     T_pad = max(qt.table.shape[0] for qt in parts)
     tables = np.full((n_shards, T_pad, SLOTS * LANES), EMPTY_KEY, np.int32)
     metas = np.zeros((n_shards, 3), np.int32)

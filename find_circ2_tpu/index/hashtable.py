@@ -18,12 +18,15 @@ per-variant query to TWO row gathers over HALF the variants:
     complement of a 1-mismatch variant of q is a 1-mismatch variant of
     rc(q), ONE canonical lookup per forward variant yields the statistics
     of both the '+' and the '-' strand variant — halving gather volume;
-  - distinct canonical k-mers go into a bucketized 2-choice cuckoo hash
-    table: buckets of 4 slots, each slot int32x6
-    (p12, s8, count_f, pos_f, count_r, pos_r);
-  - lookup = hash twice, gather two 96-byte bucket rows, compare keys,
-    one masked sum/min over the 8 candidate slots. Exact by key equality —
-    never probabilistic.
+  - distinct canonical k-mers go into a 2-choice, 2-slot-per-bucket
+    cuckoo table; a slot is int32x4 — (p12, s8|cnt_f|cnt_r, pos_f,
+    pos_r), counts clamped to max_bucket+1 (the repetitive-k-mer guard
+    zeroes anything above max_bucket, so the clamp is lossless).
+    Measured on v5e: a 1M-row gather pass costs ~7.6 ms up to 4-lane
+    rows and ~+0.5 ms per extra lane, so narrow slots are the whole
+    point — the 4-slot/6-lane layout cost 2.6x more;
+  - lookup = hash twice, gather two 32-byte bucket rows, compare keys.
+    Exact by key equality — never probabilistic.
 
 Sharding: canonical keys are range-partitioned by their prefix12, so each
 distinct canonical k-mer lives on exactly one shard and the cross-shard
@@ -41,10 +44,16 @@ import numpy as np
 from find_circ2_tpu.config import Config
 from find_circ2_tpu.index.build import SeedIndex
 
-SLOTS = 4          # slots per bucket (one 96B row)
-LANES = 6          # int32 lanes per slot: p12, s8, cnt_f, pos_f, cnt_r, pos_r
+SLOTS = 2          # slots per bucket ((2,2)-cuckoo threshold ~0.9; the
+                   # parallel random-walk insert livelocks with 1-slot
+                   # buckets — eviction cycles synchronize — but
+                   # converges in seconds at 2 slots / load 0.8)
+LANES = 4          # int32 lanes: p12, s8|cnt_f<<16|cnt_r<<23, pos_f, pos_r
 EMPTY_KEY = -1
 LARGE_POS = 2 ** 31 - 1
+CNT_BITS = 7       # packed count field width; needs max_bucket + 1 < 127
+S8_MASK = (1 << 16) - 1
+CNT_MASK = (1 << CNT_BITS) - 1
 
 
 def mix_hash(p12_u32, s8_u32, salt_u32):
@@ -212,19 +221,23 @@ def _try_place(p12, s8, T: int, salts: np.ndarray, rng,
 
 
 def build_query_table(index: SeedIndex, cfg: Config = Config(), *,
-                      load: float = 0.7, seed: int = 0,
+                      load: float = 0.8, seed: int = 0,
                       pad_buckets: int | None = None) -> QueryTable:
     """Aggregate distinct canonical k-mers and place them in a cuckoo
     table. Deterministic given (index, seed). `pad_buckets` pads the
     table with unaddressable empty rows (sharded stacking)."""
+    if cfg.max_bucket + 1 >= (1 << CNT_BITS):
+        raise ValueError(f"max_bucket must be < {(1 << CNT_BITS) - 1} "
+                         "to fit the packed count field")
     keys = canonical_keys(index)
     return _build_from_keys(*keys, load=load, seed=seed,
-                            pad_buckets=pad_buckets)
+                            pad_buckets=pad_buckets,
+                            max_bucket=cfg.max_bucket)
 
 
 def _build_from_keys(p12, s8, cnt_f, pos_f, cnt_r, pos_r, *, load: float,
-                     seed: int, pad_buckets: int | None = None
-                     ) -> QueryTable:
+                     seed: int, pad_buckets: int | None = None,
+                     max_bucket: int) -> QueryTable:
     D = int(p12.size)
     T = max(1, int(np.ceil(D / (SLOTS * load))))
     slot_key = None
@@ -242,25 +255,31 @@ def _build_from_keys(p12, s8, cnt_f, pos_f, cnt_r, pos_r, *, load: float,
     table = np.full((T_pad * SLOTS, LANES), EMPTY_KEY, np.int32)
     placed = np.flatnonzero(slot_key >= 0)
     kid = slot_key[placed]
+    # Counts clamp to max_bucket + 1: the query-side repetitive-k-mer
+    # guard maps anything > max_bucket to 0, so the clamp is lossless.
+    clamp = np.int32(max_bucket + 1)
+    cf = np.minimum(cnt_f[kid], clamp).astype(np.int32)
+    cr = np.minimum(cnt_r[kid], clamp).astype(np.int32)
     table[placed, 0] = p12[kid]
-    table[placed, 1] = s8[kid]
-    table[placed, 2] = cnt_f[kid]
-    table[placed, 3] = pos_f[kid]
-    table[placed, 4] = cnt_r[kid]
-    table[placed, 5] = pos_r[kid]
+    table[placed, 1] = s8[kid] | (cf << 16) | (cr << (16 + CNT_BITS))
+    table[placed, 2] = pos_f[kid]
+    table[placed, 3] = pos_r[kid]
     meta = np.array([np.uint32(salts[0]).view(np.int32),
                      np.uint32(salts[1]).view(np.int32), T], np.int32)
     return QueryTable(table=table.reshape(T_pad, SLOTS * LANES), meta=meta)
 
 
 def shard_query_table(index: SeedIndex, n_shards: int,
-                      cfg: Config = Config(), *, load: float = 0.7,
+                      cfg: Config = Config(), *, load: float = 0.8,
                       seed: int = 0):
     """Range-partition distinct canonical k-mers by prefix12 and build
     one QueryTable per shard, padded to a common bucket count.
 
     Returns (tables int32 [n_shards, T_pad, SLOTS*LANES],
              metas int32 [n_shards, 3])."""
+    if cfg.max_bucket + 1 >= (1 << CNT_BITS):
+        raise ValueError(f"max_bucket must be < {(1 << CNT_BITS) - 1} "
+                         "to fit the packed count field")
     p12, s8, cnt_f, pos_f, cnt_r, pos_r = canonical_keys(index)
     nb = index.n_buckets
     S = -(-nb // n_shards)
@@ -270,7 +289,8 @@ def shard_query_table(index: SeedIndex, n_shards: int,
         lo, hi = bounds[i], bounds[i + 1]
         parts.append(_build_from_keys(
             p12[lo:hi], s8[lo:hi], cnt_f[lo:hi], pos_f[lo:hi],
-            cnt_r[lo:hi], pos_r[lo:hi], load=load, seed=seed + i))
+            cnt_r[lo:hi], pos_r[lo:hi], load=load, seed=seed + i,
+            max_bucket=cfg.max_bucket))
     T_pad = max(qt.table.shape[0] for qt in parts)
     tables = np.full((n_shards, T_pad, SLOTS * LANES), EMPTY_KEY, np.int32)
     metas = np.zeros((n_shards, 3), np.int32)

@@ -141,12 +141,12 @@ def candidate_stats(
     naturally return count 0 and cross-shard combination is psum(count) /
     pmin(first_pos) (SPEC.md §2).
 
-    Two bucket-row gathers per canonical variant — each serving BOTH
-    strand slots; key comparison is exact, so the hash is never
+    Two 32-byte bucket-row gathers per canonical variant — each serving
+    BOTH strand slots; key comparison is exact, so the hash is never
     probabilistic.
     """
-    from find_circ2_tpu.index.hashtable import (LANES, LARGE_POS as LPOS,
-                                                SLOTS, mix_hash)
+    from find_circ2_tpu.index.hashtable import (CNT_BITS, CNT_MASK, LANES,
+        LARGE_POS as LPOS, S8_MASK, SLOTS, mix_hash)
 
     p12, s8, p12r, s8r, valid = enumerate_variants(anchors, cfg)
     B, V = p12.shape
@@ -160,16 +160,30 @@ def candidate_stats(
     salt1 = meta[1].astype(jnp.uint32)
     up = cp.astype(jnp.uint32)
     us = cs.astype(jnp.uint32)
-    h1 = (mix_hash(up, us, salt0) % n_buckets).astype(jnp.int32)
-    h2 = (mix_hash(up, us, salt1) % n_buckets).astype(jnp.int32)
-    g1 = jnp.take(table, h1, axis=0).reshape(B, V, SLOTS, LANES)
-    g2 = jnp.take(table, h2, axis=0).reshape(B, V, SLOTS, LANES)
-    g = jnp.concatenate([g1, g2], axis=2)              # [B, V, 2S, LANES]
-    match = (g[..., 0] == cp[..., None]) & (g[..., 1] == cs[..., None])
-    cnt_f = jnp.sum(jnp.where(match, g[..., 2], 0), axis=-1)
-    pos_f = jnp.min(jnp.where(match, g[..., 3], LPOS), axis=-1)
-    cnt_r = jnp.sum(jnp.where(match, g[..., 4], 0), axis=-1)
-    pos_r = jnp.min(jnp.where(match, g[..., 5], LPOS), axis=-1)
+
+    def probe(salt):
+        # Per-probe partial stats, reduced immediately so XLA fuses the
+        # unpack into the gather consumer. Slot layout: hashtable.LANES.
+        h = (mix_hash(up, us, salt) % n_buckets).astype(jnp.int32)
+        g = jnp.take(table, h, axis=0).reshape(B, V, SLOTS, LANES)
+        packed = g[..., 1]
+        m = (g[..., 0] == cp[..., None]) & ((packed & S8_MASK)
+                                            == cs[..., None])
+        cf = (packed >> 16) & CNT_MASK
+        cr = (packed >> (16 + CNT_BITS)) & CNT_MASK
+        return (jnp.sum(jnp.where(m, cf, 0), axis=-1),
+                jnp.min(jnp.where(m, g[..., 2], LPOS), axis=-1),
+                jnp.sum(jnp.where(m, cr, 0), axis=-1),
+                jnp.min(jnp.where(m, g[..., 3], LPOS), axis=-1))
+
+    # A key lives in at most one of its two buckets: sums add a zero,
+    # mins a LARGE_POS, so combining partials is exact.
+    cf1, pf1, cr1, pr1 = probe(salt0)
+    cf2, pf2, cr2, pr2 = probe(salt1)
+    cnt_f = cf1 + cf2
+    pos_f = jnp.minimum(pf1, pf2)
+    cnt_r = cr1 + cr2
+    pos_r = jnp.minimum(pr1, pr2)
 
     # '+' slots take the variant's own orientation, '-' slots its rc.
     count = jnp.concatenate([jnp.where(swap, cnt_r, cnt_f),

@@ -7,9 +7,9 @@ import pytest
 
 from find_circ2_tpu.config import Config
 from find_circ2_tpu.index.build import build_index
-from find_circ2_tpu.index.hashtable import (LANES, LARGE_POS, SLOTS,
-    QueryTable, build_query_table, canonical_keys, distinct_kmers,
-    mix_hash, rc_kmer, shard_query_table)
+from find_circ2_tpu.index.hashtable import (CNT_BITS, CNT_MASK, LANES,
+    LARGE_POS, S8_MASK, SLOTS, QueryTable, build_query_table,
+    canonical_keys, distinct_kmers, mix_hash, rc_kmer, shard_query_table)
 from find_circ2_tpu.io.genome import Genome
 
 CFG = Config()
@@ -36,11 +36,14 @@ def _host_lookup(qt, p12, s8):
         h = int(mix_hash(up, us, salt)[0] % T)
         rows.append(qt.table[h].reshape(SLOTS, LANES))
     g = np.concatenate(rows)
-    m = (g[:, 0] == p12) & (g[:, 1] == s8)
+    m = (g[:, 0] == p12) & ((g[:, 1] & S8_MASK) == s8)
     if not m.any():
         return None
     assert m.sum() == 1, "key stored more than once"
-    return tuple(int(x) for x in g[m][0][2:])
+    row = g[m][0]
+    cnt_f = (int(row[1]) >> 16) & CNT_MASK
+    cnt_r = (int(row[1]) >> (16 + CNT_BITS)) & CNT_MASK
+    return (cnt_f, int(row[2]), cnt_r, int(row[3]))
 
 
 def _sk_bits():

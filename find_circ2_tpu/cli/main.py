@@ -29,7 +29,10 @@ def run_cmd(argv) -> int:
     p = argparse.ArgumentParser(prog="tpu_circ run",
                                 description="full pipeline in one command")
     p.add_argument("reads", help="FASTQ(.gz) of RNA-seq reads")
-    p.add_argument("-G", "--genome", required=True)
+    p.add_argument("-G", "--genome", default=None)
+    p.add_argument("-x", "--index", default=None,
+                   help="prebuilt index .npz (tpu_circ index); "
+                   "alternative to -G")
     p.add_argument("-o", "--outdir", default="tpu_circ_out")
     p.add_argument("-n", "--name", default="sample")
     p.add_argument("-p", "--prefix", default="")
@@ -41,12 +44,18 @@ def run_cmd(argv) -> int:
                    help="also write circ_candidates.bed with the frozen "
                    "quality filters applied")
     args = p.parse_args(argv)
+    if not args.genome and not args.index:
+        p.error("one of -G/--genome or -x/--index is required")
     os.makedirs(args.outdir, exist_ok=True)
     bed = os.path.join(args.outdir, "splice_sites.bed")
     stats = os.path.join(args.outdir, "stats.txt")
-    fc_args = [args.reads, "-G", args.genome, "-o", bed, "-s", stats,
+    fc_args = [args.reads, "-o", bed, "-s", stats,
                "-n", args.name, "-p", args.prefix,
                "--reads-format", "fastq", "--backend", args.backend]
+    if args.index:
+        fc_args += ["-x", args.index]
+    else:
+        fc_args += ["-G", args.genome]
     if args.stranded:
         fc_args.append("--stranded")
     if args.no_prefilter:
@@ -86,6 +95,10 @@ def index_cmd(argv) -> int:
     cfg = Config()
     genome = Genome.from_fasta(args.genome, cfg)
     index = build_index(genome, cfg)
+    # Precompute the device query table so runs loading this artifact
+    # skip the cuckoo construction.
+    from find_circ2_tpu.index.hashtable import build_query_table
+    index.qtable = build_query_table(index, cfg)
     save_index(args.output, genome, index)
     print(f"tpu_circ index: {len(genome)} bases, "
           f"{index.positions.size} windows -> {args.output}",

@@ -146,6 +146,43 @@ def detect_batch_phased(dindex: "DeviceIndex", reads, lens, cfg: Config,
                        cfg, prefilter)
 
 
+# Column order of the packed per-read result row (host readback format).
+PACK_FIELDS = ("status", "kind", "chrom", "start", "end", "sense",
+               "align_strand", "edits", "n_bp", "overlap", "qual_left",
+               "qual_right", "signal")
+
+
+@partial(jax.jit, static_argnames=("cfg", "prefilter", "nbases"))
+def detect_batch_packed(gpacked, nbases, table, meta, chrom_offsets,
+                        reads, lens, cfg: Config, prefilter: bool = True):
+    """Full detection step returning ONE int32 [B, 13] array.
+
+    Host<->device round trips on a tunneled device cost ~28 ms each, so
+    the streaming paths fetch one packed array per batch instead of 13
+    columns. The 4 signal codes (each < 8) pack into one column as
+    s0 | s1<<3 | s2<<6 | s3<<9; unpack with `unpack_results`."""
+    anchors_a, anchors_b = read_anchors(reads, lens, cfg)
+    hits_a = align_anchors(table, meta, anchors_a, cfg)
+    hits_b = align_anchors(table, meta, anchors_b, cfg)
+    res = detect_core(gpacked, nbases, chrom_offsets, reads, lens,
+                      hits_a, hits_b, cfg, prefilter)
+    sig = res["signal"].astype(jnp.int32)
+    sig_packed = (sig[:, 0] | (sig[:, 1] << 3) | (sig[:, 2] << 6)
+                  | (sig[:, 3] << 9))
+    cols = [res[k].astype(jnp.int32) for k in PACK_FIELDS[:-1]]
+    cols.append(sig_packed)
+    return jnp.stack(cols, axis=1)
+
+
+def unpack_results(packed: np.ndarray) -> dict:
+    """Host-side inverse of detect_batch_packed's packing."""
+    out = {k: packed[:, i] for i, k in enumerate(PACK_FIELDS[:-1])}
+    sig = packed[:, len(PACK_FIELDS) - 1]
+    out["signal"] = np.stack([sig & 7, (sig >> 3) & 7, (sig >> 6) & 7,
+                              (sig >> 9) & 7], axis=1).astype(np.uint8)
+    return out
+
+
 def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
                 hits_b, cfg: Config, prefilter: bool):
     """Pairing, prefilter, K2 and status resolution given anchor hits.
@@ -232,9 +269,14 @@ def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
 
 def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
               prefilter: bool = True, batch_size: int | None = None,
-              journal=None, times=None):
+              journal=None, times=None, pipeline_depth: int = 2):
     """Host streaming loop: batch reads, run the device step, yield
     ReadCalls. `reads` is an iterable of (name, seq).
+
+    Dispatch is pipelined `pipeline_depth` batches deep: the packed
+    result of batch i is fetched (one ~28 ms tunnel round trip,
+    detect_batch_packed) while batch i+1 computes, so readback latency
+    overlaps device work — results are still consumed strictly in order.
 
     With a `journal` (utils.journal.RunJournal), completed batches replay
     from disk and only unprocessed batches hit the device — the resume
@@ -242,6 +284,7 @@ def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
     per-stage wall time.
     """
     import contextlib
+    from collections import deque
 
     bs = batch_size or cfg.batch_size
     Lp = cfg.max_read_len
@@ -249,39 +292,21 @@ def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
     out: list[ReadCall] = []
     done = journal.completed_batches() if journal is not None else {}
     batch_id = 0
+    inflight: deque = deque()   # (batch_id, records, packed device array)
 
     def timed(name):
         return times.stage(name) if times is not None \
             else contextlib.nullcontext()
 
-    def flush():
-        nonlocal batch_id
-        if not buf:
+    def consume():
+        this_id, records, packed = inflight.popleft()
+        if packed is None:          # journal replay, already ReadCalls
+            out.extend(records)
             return
-        this_id = batch_id
-        batch_id += 1
-        if this_id in done:
-            replay = done[this_id]
-            if len(replay) != len(buf):
-                raise ValueError(
-                    f"journal batch {this_id} has {len(replay)} calls, "
-                    f"input has {len(buf)}: input changed since journal")
-            out.extend(replay)
-            buf.clear()
-            return
-        arr = np.full((bs, Lp), RPAD_CODE, dtype=np.uint8)
-        lens = np.zeros(bs, np.int32)
-        with timed("encode"):
-            for i, (_, seq) in enumerate(buf):
-                codes = seq_to_codes(seq)
-                arr[i, :codes.size] = codes
-                lens[i] = codes.size
         with timed("device_detect"):
-            res = detect_batch_phased(dindex, jnp.asarray(arr),
-                                      jnp.asarray(lens), cfg, prefilter)
-            res = {k: np.asarray(v) for k, v in res.items()}
+            res = unpack_results(np.asarray(packed))
         batch_calls: list[ReadCall] = []
-        for i, (name, seq) in enumerate(buf):
+        for i, (name, seq) in enumerate(records):
             status = int(res["status"][i])
             if status != ST_JUNCTION:
                 # Match the oracle exactly: non-junction records carry no
@@ -309,17 +334,64 @@ def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
         if times is not None:
             times.add_reads(len(batch_calls))
         out.extend(batch_calls)
+
+    def flush():
+        nonlocal batch_id
+        if not buf:
+            return
+        this_id = batch_id
+        batch_id += 1
+        if this_id in done:
+            replay = done[this_id]
+            if len(replay) != len(buf):
+                raise ValueError(
+                    f"journal batch {this_id} has {len(replay)} calls, "
+                    f"input has {len(buf)}: input changed since journal")
+            inflight.append((this_id, replay, None))
+            buf.clear()
+            if len(inflight) > pipeline_depth:
+                consume()
+            return
+        arr = np.full((bs, Lp), RPAD_CODE, dtype=np.uint8)
+        lens = np.zeros(bs, np.int32)
+        with timed("encode"):
+            for i, (_, seq) in enumerate(buf):
+                codes = seq_to_codes(seq)
+                arr[i, :codes.size] = codes
+                lens[i] = codes.size
+        with timed("device_dispatch"):
+            packed = detect_batch_packed(
+                dindex.gpacked, dindex.nbases, dindex.table, dindex.meta,
+                dindex.chrom_offsets, jnp.asarray(arr), jnp.asarray(lens),
+                cfg, prefilter)
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
+        inflight.append((this_id, list(buf), packed))
         buf.clear()
+        if len(inflight) > pipeline_depth:
+            consume()
+
+    def loose(call: ReadCall):
+        # Skipped reads keep their arrival position relative to batch
+        # results by riding the same FIFO (coalesced when consecutive).
+        if inflight and inflight[-1][0] is None:
+            inflight[-1][1].append(call)
+        else:
+            inflight.append((None, [call], None))
 
     for name, seq in reads:
         if len(seq) < 2 * cfg.anchor_len:
-            out.append(ReadCall(name, seq, ST_TOO_SHORT))
+            loose(ReadCall(name, seq, ST_TOO_SHORT))
             continue
         if len(seq) > cfg.max_read_len:
-            out.append(ReadCall(name, seq, ST_TOO_LONG))
+            loose(ReadCall(name, seq, ST_TOO_LONG))
             continue
         buf.append((name, seq))
         if len(buf) == bs:
             flush()
     flush()
+    while inflight:
+        consume()
     return out

@@ -74,8 +74,17 @@ def kmer_values(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return vals, valid
 
 
-def build_index(genome: Genome, cfg: Config = Config()) -> SeedIndex:
-    """Build the two-level index over the full concatenated genome."""
+def build_index(genome: Genome, cfg: Config = Config(),
+                chunk: int | None = None) -> SeedIndex:
+    """Build the two-level index over the full concatenated genome.
+
+    Genomes beyond ~512 Mbp automatically take the chunked builder
+    (`build_index_chunked`, bit-identical output, bounded memory) so a
+    whole human genome (~3.1 Gbp) builds within ~40 GB host RAM instead
+    of the several-hundred-GB peak of the monolithic sort.
+    """
+    if chunk is not None or len(genome) > (512 << 20):
+        return build_index_chunked(genome, cfg, chunk=chunk or (256 << 20))
     a, pk = cfg.anchor_len, cfg.prefix_len
     sk = a - pk
     codes = genome.codes
@@ -99,6 +108,95 @@ def build_index(genome: Genome, cfg: Config = Config()) -> SeedIndex:
         if max_bucket_size else 1
     return SeedIndex(anchor_len=a, prefix_len=pk, positions=positions,
                      suffix_vals=suffix_vals, offsets=offsets,
+                     bsearch_iters=iters)
+
+
+def _chunk_kmers(codes: np.ndarray, lo: int, hi: int, a: int, pk: int):
+    """(p12, s8, pos) of valid anchor windows starting in [lo, hi)."""
+    seg = codes[lo:min(hi + a - 1, codes.size)]
+    pref, pref_ok = kmer_values(seg, pk)
+    suf, suf_ok = kmer_values(seg[pk:], a - pk)
+    n = min(pref.size, suf.size, hi - lo)
+    valid = pref_ok[:n] & suf_ok[:n]
+    rel = np.nonzero(valid)[0]
+    return (pref[rel], suf[rel].astype(np.uint16),
+            (rel + lo).astype(np.uint32))
+
+
+def build_index_chunked(genome: Genome, cfg: Config = Config(),
+                        chunk: int = 256 << 20) -> SeedIndex:
+    """Memory-bounded three-pass builder, bit-identical to build_index.
+
+    Pass 1 counts windows per prefix12 bucket; pass 2 scatters
+    (position, suffix) into their bucket ranges — chunks are processed in
+    genome order, so within a bucket entries land position-sorted; pass 3
+    stable-sorts each bucket by suffix (position order preserved),
+    processed in bounded slices of whole buckets. Peak extra memory is
+    O(chunk) + the output arrays themselves.
+    """
+    a, pk = cfg.anchor_len, cfg.prefix_len
+    codes = genome.codes
+    G = codes.size
+    nb = 4 ** pk
+
+    counts = np.zeros(nb, np.int64)
+    for lo in range(0, G, chunk):
+        p12, _, _ = _chunk_kmers(codes, lo, min(lo + chunk, G), a, pk)
+        counts += np.bincount(p12, minlength=nb)
+    total = int(counts.sum())
+    offsets64 = np.zeros(nb + 1, np.int64)
+    np.cumsum(counts, out=offsets64[1:])
+    if total >= 2 ** 32:
+        raise ValueError("index exceeds uint32 offsets")
+
+    positions = np.empty(total, np.uint32)
+    suffix_vals = np.empty(total, np.uint16)
+    cursor = np.zeros(nb, np.int64)
+    for lo in range(0, G, chunk):
+        p12, s8, pos = _chunk_kmers(codes, lo, min(lo + chunk, G), a, pk)
+        order = np.argsort(p12, kind="stable")   # pos stays ascending
+        p12 = p12[order]
+        s8 = s8[order]
+        pos = pos[order]
+        # Rank within this chunk's bucket group.
+        if p12.size:
+            head = np.empty(p12.size, bool)
+            head[0] = True
+            head[1:] = p12[1:] != p12[:-1]
+            gstart = np.flatnonzero(head)
+            gcnt = np.diff(np.append(gstart, p12.size))
+            rank = np.arange(p12.size, dtype=np.int64) - np.repeat(
+                gstart, gcnt)
+            dest = offsets64[p12] + cursor[p12] + rank
+            positions[dest] = pos
+            suffix_vals[dest] = s8
+            np.add.at(cursor, p12[gstart], gcnt)
+
+    # Pass 3: per-bucket stable sort by suffix, in slices of whole buckets.
+    slice_target = max(1, chunk // 8)
+    b = 0
+    while b < nb:
+        e = b
+        while e < nb and offsets64[e + 1] - offsets64[b] < slice_target:
+            e += 1
+        e = max(e, b + 1)
+        lo, hi = int(offsets64[b]), int(offsets64[e])
+        if hi > lo:
+            bucket_local = (np.searchsorted(
+                offsets64[b:e + 1], np.arange(lo, hi), side="right") - 1
+            ).astype(np.uint64)
+            key = (bucket_local << np.uint64(16)) | suffix_vals[lo:hi]
+            order = np.argsort(key, kind="stable")
+            positions[lo:hi] = positions[lo:hi][order]
+            suffix_vals[lo:hi] = suffix_vals[lo:hi][order]
+        b = e
+
+    max_bucket_size = int(counts.max()) if counts.size else 0
+    iters = max(1, int(np.ceil(np.log2(max_bucket_size + 1)))) \
+        if max_bucket_size else 1
+    return SeedIndex(anchor_len=a, prefix_len=pk, positions=positions,
+                     suffix_vals=suffix_vals,
+                     offsets=offsets64.astype(np.uint32),
                      bsearch_iters=iters)
 
 

@@ -50,7 +50,10 @@ SLOTS = 2          # slots per bucket ((2,2)-cuckoo threshold ~0.9; the
                    # converges in seconds at 2 slots / load 0.8)
 LANES = 4          # int32 lanes: p12, s8|cnt_f<<16|cnt_r<<23, pos_f, pos_r
 EMPTY_KEY = -1
-LARGE_POS = 2 ** 31 - 1
+# Global positions are uint32 (genomes up to ~4.29 Gbp — the whole human
+# genome fits, BASELINE configs[4]); the pos lanes store the uint32 bit
+# pattern in the int32 table. LARGE_POS is the uint32 max sentinel.
+LARGE_POS = np.uint32(2 ** 32 - 1)
 CNT_BITS = 7       # packed count field width; needs max_bucket + 1 < 127
 S8_MASK = (1 << 16) - 1
 CNT_MASK = (1 << CNT_BITS) - 1
@@ -95,22 +98,28 @@ class QueryTable:
 def distinct_kmers(index: SeedIndex):
     """(p12, s8, count, first_pos) per distinct k-mer, from the sorted
     SeedIndex (positions within a (p12, s8) group are ascending, so the
-    group head is the smallest position)."""
+    group head is the smallest position).
+
+    Memory-lean for whole-genome indexes (3G+ entries): group heads come
+    from the suffix-change flags plus bucket boundaries — no per-entry
+    bucket-id materialization."""
     offs = index.offsets.astype(np.int64)
     n = int(index.positions.size)
     if n == 0:
         z = np.zeros(0, np.int32)
         return z, z, z, z
-    counts = np.diff(offs).astype(np.int64)
-    p12_all = np.repeat(np.arange(index.n_buckets, dtype=np.int32), counts)
-    s8_all = index.suffix_vals.astype(np.int32)
     new = np.empty(n, bool)
     new[0] = True
-    new[1:] = (p12_all[1:] != p12_all[:-1]) | (s8_all[1:] != s8_all[:-1])
+    new[1:] = index.suffix_vals[1:] != index.suffix_vals[:-1]
+    # Entries are (p12, s8)-sorted, so a bucket boundary is a group head
+    # even if the suffix value repeats across it.
+    bucket_starts = offs[:-1][np.diff(offs) > 0]
+    new[bucket_starts] = True
     starts = np.flatnonzero(new)
     cnt = np.diff(np.append(starts, n)).astype(np.int32)
-    return (p12_all[starts], s8_all[starts], cnt,
-            index.positions[starts].astype(np.int64).astype(np.int32))
+    p12 = (np.searchsorted(offs, starts, side="right") - 1).astype(np.int32)
+    return (p12, index.suffix_vals[starts].astype(np.int32), cnt,
+            index.positions[starts].astype(np.uint32))
 
 
 def rc_kmer(k64: np.ndarray, a: int) -> np.ndarray:
@@ -160,9 +169,9 @@ def canonical_keys(index: SeedIndex):
     uid = np.cumsum(first) - 1
     U = int(uid[-1]) + 1
     cnt_f = np.zeros(U, np.int32)
-    pos_f = np.full(U, LARGE_POS, np.int32)
+    pos_f = np.full(U, LARGE_POS, np.uint32)
     cnt_r = np.zeros(U, np.int32)
-    pos_r = np.full(U, LARGE_POS, np.int32)
+    pos_r = np.full(U, LARGE_POS, np.uint32)
     fwd = ~sw_s
     cnt_f[uid[fwd]] = cnt_s[fwd]
     pos_f[uid[fwd]] = pos_s[fwd]
@@ -262,8 +271,10 @@ def _build_from_keys(p12, s8, cnt_f, pos_f, cnt_r, pos_r, *, load: float,
     cr = np.minimum(cnt_r[kid], clamp).astype(np.int32)
     table[placed, 0] = p12[kid]
     table[placed, 1] = s8[kid] | (cf << 16) | (cr << (16 + CNT_BITS))
-    table[placed, 2] = pos_f[kid]
-    table[placed, 3] = pos_r[kid]
+    # uint32 positions bitcast into the int32 lanes (fancy-index copies
+    # are contiguous, so .view is safe).
+    table[placed, 2] = pos_f[kid].astype(np.uint32).view(np.int32)
+    table[placed, 3] = pos_r[kid].astype(np.uint32).view(np.int32)
     meta = np.array([np.uint32(salts[0]).view(np.int32),
                      np.uint32(salts[1]).view(np.int32), T], np.int32)
     return QueryTable(table=table.reshape(T_pad, SLOTS * LANES), meta=meta)

@@ -30,7 +30,7 @@ class ShardedIndex:
     kmers_per_shard: int          # S: prefix12 range width per shard
     offsets: np.ndarray           # int32 [n_shards, S+1], local offsets
     suffix_vals: np.ndarray       # int32 [n_shards, Pmax], zero-padded
-    positions: np.ndarray         # int32 [n_shards, Pmax], zero-padded
+    positions: np.ndarray         # uint32 [n_shards, Pmax], zero-padded
     bsearch_iters: int
 
 
@@ -51,10 +51,10 @@ def shard_index(index: SeedIndex, n_shards: int) -> ShardedIndex:
         pos_slices.append(index.positions[offs[lo_k]:offs[hi_k]])
         suf_slices.append(index.suffix_vals[offs[lo_k]:offs[hi_k]])
     pmax = max(max((p.size for p in pos_slices), default=0), 1)
-    positions = np.zeros((n_shards, pmax), dtype=np.int32)
+    positions = np.zeros((n_shards, pmax), dtype=np.uint32)
     suffix_vals = np.zeros((n_shards, pmax), dtype=np.int32)
     for i, (p, sv) in enumerate(zip(pos_slices, suf_slices)):
-        positions[i, :p.size] = p.astype(np.int64).astype(np.int32)
+        positions[i, :p.size] = p.astype(np.uint32)
         suffix_vals[i, :sv.size] = sv.astype(np.int32)
     return ShardedIndex(n_shards=n_shards, kmers_per_shard=S,
                         offsets=shard_offsets.astype(np.int32),

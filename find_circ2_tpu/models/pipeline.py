@@ -59,9 +59,9 @@ class DeviceIndex:
         from find_circ2_tpu.index.hashtable import build_query_table
         if index is None:
             index = build_index(genome, cfg)
-        if len(genome) >= 2 ** 31:
-            raise ValueError("single-shard genome must fit int32 positions; "
-                             "use the sharded path (parallel/)")
+        if len(genome) >= 2 ** 32 - 2 * cfg.chrom_gap:
+            raise ValueError("genome must fit uint32 positions "
+                             "(< ~4.29 Gbp incl. sentinel gaps)")
         if qtable is None:
             qtable = index.qtable
         if qtable is None:
@@ -73,7 +73,7 @@ class DeviceIndex:
             table=jnp.asarray(qtable.table),
             meta=jnp.asarray(qtable.meta),
             chrom_offsets=jnp.asarray(
-                genome.chrom_offsets.astype(np.int32)),
+                genome.chrom_offsets.astype(np.uint32)),
         )
 
 
@@ -177,6 +177,10 @@ def detect_batch_packed(gpacked, nbases, table, meta, chrom_offsets,
 def unpack_results(packed: np.ndarray) -> dict:
     """Host-side inverse of detect_batch_packed's packing."""
     out = {k: packed[:, i] for i, k in enumerate(PACK_FIELDS[:-1])}
+    # start/end are uint32 global positions bitcast into the int32 packed
+    # array (same itemsize, so .view works on the strided columns).
+    out["start"] = out["start"].view(np.uint32)
+    out["end"] = out["end"].view(np.uint32)
     sig = packed[:, len(PACK_FIELDS) - 1]
     out["signal"] = np.stack([sig & 7, (sig >> 3) & 7, (sig >> 6) & 7,
                               (sig >> 9) & 7], axis=1).astype(np.uint8)
@@ -202,13 +206,17 @@ def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
     rc = jnp.where(pos_ax < lens[:, None], rc, RPAD_CODE).astype(jnp.uint8)
 
     # --- pass-1 contiguous prefilter (SPEC.md §6) -----------------------
+    # All global-position arithmetic stays in uint32 (positions reach
+    # ~4.29e9 on whole-genome indexes); mixing in int32 operands would
+    # silently promote to int64.
+    lens_u = lens.astype(jnp.uint32)
     if prefilter:
         qa = jnp.where((hits_a.strand == 0)[:, None], reads, rc)
         sa = jnp.where(hits_a.strand == 0, hits_a.pos,
-                       hits_a.pos + a - lens)
+                       hits_a.pos + a - lens_u)
         mma = _full_read_mm(gpacked, nbases, qa, sa, lens)
         qb = jnp.where((hits_b.strand == 0)[:, None], reads, rc)
-        sb = jnp.where(hits_b.strand == 0, hits_b.pos + a - lens,
+        sb = jnp.where(hits_b.strand == 0, hits_b.pos + a - lens_u,
                        hits_b.pos)
         mmb = _full_read_mm(gpacked, nbases, qb, sb, lens)
         contig = ((hits_a.aligned & (mma <= cfg.prefilter_mm))

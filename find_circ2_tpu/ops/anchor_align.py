@@ -15,7 +15,8 @@ random gather pass over an HBM table costs ~10 ms per 1M elements
 regardless of row width, so this is the difference between ~25 ms and
 ~130 ms per 4096-read batch). Shapes stay flat ([B, 2*V]).
 
-Positions are int32 global coordinates (genomes < 2^31 per shard).
+Positions are uint32 global coordinates (genomes < 2^32 — whole human
+genome scale; the table's int32 lanes carry the uint32 bit pattern).
 """
 
 from __future__ import annotations
@@ -28,12 +29,12 @@ import jax.numpy as jnp
 from find_circ2_tpu.config import Config
 
 LARGE_MM = jnp.int32(255)
-LARGE_POS = jnp.int32(2 ** 31 - 1)
+LARGE_POS = jnp.uint32(2 ** 32 - 1)
 
 
 class AnchorHits(NamedTuple):
     aligned: jnp.ndarray    # bool [B]
-    pos: jnp.ndarray        # int32 [B] global anchor start of best hit
+    pos: jnp.ndarray        # uint32 [B] global anchor start of best hit
     strand: jnp.ndarray     # int32 [B] 0/1
     mm: jnp.ndarray         # int32 [B]
     n_best: jnp.ndarray     # int32 [B]
@@ -146,7 +147,8 @@ def candidate_stats(
     probabilistic.
     """
     from find_circ2_tpu.index.hashtable import (CNT_BITS, CNT_MASK, LANES,
-        LARGE_POS as LPOS, S8_MASK, SLOTS, mix_hash)
+        S8_MASK, SLOTS, mix_hash)
+    LPOS = LARGE_POS
 
     p12, s8, p12r, s8r, valid = enumerate_variants(anchors, cfg)
     B, V = p12.shape
@@ -171,10 +173,15 @@ def candidate_stats(
                                             == cs[..., None])
         cf = (packed >> 16) & CNT_MASK
         cr = (packed >> (16 + CNT_BITS)) & CNT_MASK
+        # Position lanes are uint32 bit patterns in the int32 table;
+        # signed->unsigned convert wraps mod 2^32 (a bitcast), restoring
+        # the true global position and its unsigned order for the mins.
+        pf_lane = g[..., 2].astype(jnp.uint32)
+        pr_lane = g[..., 3].astype(jnp.uint32)
         return (jnp.sum(jnp.where(m, cf, 0), axis=-1),
-                jnp.min(jnp.where(m, g[..., 2], LPOS), axis=-1),
+                jnp.min(jnp.where(m, pf_lane, LPOS), axis=-1),
                 jnp.sum(jnp.where(m, cr, 0), axis=-1),
-                jnp.min(jnp.where(m, g[..., 3], LPOS), axis=-1))
+                jnp.min(jnp.where(m, pr_lane, LPOS), axis=-1))
 
     # A key lives in at most one of its two buckets: sums add a zero,
     # mins a LARGE_POS, so combining partials is exact.

@@ -41,8 +41,8 @@ def breakpoint_search(
     nbases: int,             # static: total codes in the packed genome
     reads: jnp.ndarray,      # uint8 [B, Lp] canonicalized read codes (RPAD=6)
     lens: jnp.ndarray,       # int32 [B] true read lengths
-    pA: jnp.ndarray,         # int32 [B] left-piece start (global)
-    endB: jnp.ndarray,       # int32 [B] right-piece end (global)
+    pA: jnp.ndarray,         # uint32 [B] left-piece start (global)
+    endB: jnp.ndarray,       # uint32 [B] right-piece end (global)
     kind: jnp.ndarray,       # int32 [B] KIND_LINEAR / KIND_CIRCULAR
     align_strand: jnp.ndarray,  # int32 [B] 0/1, fallback sense
     cfg: Config,
@@ -61,12 +61,16 @@ def breakpoint_search(
         return jnp.clip(x, lo, hi)
 
     # --- window gathers (word-packed, ops/packed.py) --------------------
+    # Positions are uint32; keep all position arithmetic in uint32 (an
+    # int32 operand would promote to int64). Wraps only occur on garbage
+    # rows, which the caller masks.
+    lens_u = lens.astype(jnp.uint32)
     # GA[i] = genome[pA + i], i in [0, Lp+2): left extension + donor dinuc.
     startA = clamp(pA, 0, nbases - (Lp + 2))
     GA = gather_window(gpacked, startA, Lp + 2)
     # GB window covers genome[endB - l - 2 : endB - l - 2 + Lp + 2]; the
     # right piece base aligned with read position i is GB[i + 2] for i < l.
-    startB = clamp(endB - lens - 2, 0, nbases - (Lp + 2))
+    startB = clamp(endB - lens_u - 2, 0, nbases - (Lp + 2))
     GBw = gather_window(gpacked, startB, Lp + 2)
 
     R = reads.astype(jnp.int32)
@@ -105,8 +109,9 @@ def breakpoint_search(
     n_bp = jnp.sum(is_min & k_valid, axis=1).astype(jnp.int32)
 
     # --- junction coords + canonical signal per split -------------------
-    donor = pA[:, None] + k_ax                  # pA + k
-    acceptor = endB[:, None] - (lens[:, None] - k_ax)
+    k_u = k_ax.astype(jnp.uint32)
+    donor = pA[:, None] + k_u                   # pA + k
+    acceptor = endB[:, None] + k_u - lens_u[:, None]
     is_circ = (kind == KIND_CIRCULAR)[:, None]
     j_start = jnp.where(is_circ, acceptor, donor)
     j_end = jnp.where(is_circ, donor, acceptor)
@@ -160,11 +165,15 @@ def breakpoint_search(
                       axis=1)
     signal = jnp.where((sense == SENSE_MINUS)[:, None], sig_m, sig_p)
 
-    # anchor_overlap at best split (SPEC §4).
-    seg1_s, seg1_e = pA, pA + best_k
-    seg2_s, seg2_e = endB - (lens - best_k), endB
-    overlap = jnp.maximum(
-        0, jnp.minimum(seg1_e, seg2_e) - jnp.maximum(seg1_s, seg2_s))
+    # anchor_overlap at best split (SPEC §4). uint32 positions: compute
+    # max(0, min_e - max_s) branchlessly without underflow.
+    best_k_u = best_k.astype(jnp.uint32)
+    seg1_s, seg1_e = pA, pA + best_k_u
+    seg2_s, seg2_e = endB + best_k_u - lens_u, endB
+    min_e = jnp.minimum(seg1_e, seg2_e)
+    max_s = jnp.maximum(seg1_s, seg2_s)
+    overlap = jnp.where(min_e > max_s, min_e - max_s,
+                        jnp.uint32(0)).astype(jnp.int32)
 
     # Linear junctions need end > start (SPEC §4); caller turns this into
     # ST_NO_JUNCTION.

@@ -42,9 +42,12 @@ def _sort_combine(t: dict) -> dict:
     live = t["valid"]
     k_hi = jnp.where(live, t["kind"] * (1 << 16) + t["chrom"],
                      jnp.int32(1 << 24))
-    k_mid = jnp.where(live, t["start"], 0)
-    k_lo = jnp.where(live, t["end"] * 4 + t["sense"], 0)
-    order = jnp.lexsort((k_lo, k_mid, k_hi))
+    # start/end are uint32 global positions (up to ~4.29e9): they get
+    # their own lexsort keys (packing end*4+sense would overflow).
+    k_start = jnp.where(live, t["start"], jnp.uint32(0))
+    k_end = jnp.where(live, t["end"], jnp.uint32(0))
+    k_sense = jnp.where(live, t["sense"], 0)
+    order = jnp.lexsort((k_sense, k_end, k_start, k_hi))
 
     s = {name: jnp.take(t[name], order, axis=0) for name in ALL_FIELDS}
     s_live = s["valid"]

@@ -32,16 +32,17 @@ def pack_nibbles(codes: np.ndarray) -> np.ndarray:
 
 def gather_window(packed: jnp.ndarray, starts: jnp.ndarray, width: int
                   ) -> jnp.ndarray:
-    """codes[starts : starts+width] for each element of `starts` (int32,
-    any shape S); returns int32 codes of shape S + (width,).
+    """codes[starts : starts+width] for each element of `starts` (uint32
+    or int32, any shape S); returns int32 codes of shape S + (width,).
 
     `starts` must be pre-clamped to [0, n_bases - width]; the packed array
     must cover ceil((n_bases)/8)+width//8+1 words (pack_nibbles' padding
     plus genome sentinel padding guarantee this for all callers).
     """
     nwords = width // 8 + 2
-    word0 = starts >> 3
-    off = starts & 7
+    # Word indices fit int32 even for 4.29 Gbp genomes (< 2^29 words).
+    word0 = (starts >> 3).astype(jnp.int32)
+    off = (starts & 7).astype(jnp.int32)
     W = packed.shape[0]
     widx = jnp.clip(word0[..., None] + jnp.arange(nwords, dtype=jnp.int32),
                     0, W - 1)

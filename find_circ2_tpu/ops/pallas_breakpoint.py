@@ -47,8 +47,12 @@ def _kernel(reads_ref, lens_ref, pA_ref, endB_ref, kind_ref, strand_ref,
     a = cfg.anchor_len
     R = reads_ref[...].astype(jnp.int32)            # [B, Lp]
     lens = lens_ref[...][:, 0]                      # [B, 1] -> [B]
-    pA = pA_ref[...][:, 0]
-    endB = endB_ref[...][:, 0]
+    # Positions are uint32 bit patterns carried in int32 refs; convert
+    # back (signed->unsigned wraps mod 2^32 = bitcast) and do all
+    # position arithmetic unsigned.
+    pA = pA_ref[...][:, 0].astype(jnp.uint32)
+    endB = endB_ref[...][:, 0].astype(jnp.uint32)
+    lens_u = lens.astype(jnp.uint32)
     kind = kind_ref[...][:, 0]
     align_strand = strand_ref[...][:, 0]
     GA = ga_ref[...].astype(jnp.int32)              # [B, Lp+2]
@@ -87,8 +91,9 @@ def _kernel(reads_ref, lens_ref, pA_ref, endB_ref, kind_ref, strand_ref,
     n_bp = jnp.sum((score == edits[:, None]) & k_valid,
                    axis=1).astype(jnp.int32)
 
-    donor = pA[:, None] + k_ax
-    acceptor = endB[:, None] - (lens[:, None] - k_ax)
+    k_u = k_ax.astype(jnp.uint32)
+    donor = pA[:, None] + k_u
+    acceptor = endB[:, None] + k_u - lens_u[:, None]
     is_circ = (kind == KIND_CIRCULAR)[:, None]
     j_start = jnp.where(is_circ, acceptor, donor)
     j_end = jnp.where(is_circ, donor, acceptor)
@@ -115,8 +120,12 @@ def _kernel(reads_ref, lens_ref, pA_ref, endB_ref, kind_ref, strand_ref,
         return jnp.sum(jnp.where(onehot, arr.astype(jnp.int32), 0),
                        axis=1)
 
-    b_start = sel(j_start)
-    b_end = sel(j_end)
+    def sel_u(arr):
+        # One slot per row is nonzero, so the uint32 sum never wraps.
+        return jnp.sum(jnp.where(onehot, arr, jnp.uint32(0)), axis=1)
+
+    b_start_u = sel_u(j_start)
+    b_end_u = sel_u(j_end)
     b_cp = sel(canon_p)
     b_cm = sel(canon_m)
     b_d0, b_d1, b_a0, b_a1 = sel(d0), sel(d1), sel(a0), sel(a1)
@@ -133,13 +142,17 @@ def _kernel(reads_ref, lens_ref, pA_ref, endB_ref, kind_ref, strand_ref,
                       axis=1)
     signal = jnp.where((sense == SENSE_MINUS)[:, None], sig_m, sig_p)
 
-    seg2_s = endB - (lens - best_k)
-    overlap = jnp.maximum(
-        0, jnp.minimum(pA + best_k, endB) - jnp.maximum(pA, seg2_s))
-    no_junction = (kind != KIND_CIRCULAR) & (b_end <= b_start)
+    best_k_u = best_k.astype(jnp.uint32)
+    seg2_s = endB + best_k_u - lens_u
+    min_e = jnp.minimum(pA + best_k_u, endB)
+    max_s = jnp.maximum(pA, seg2_s)
+    overlap = jnp.where(min_e > max_s, min_e - max_s,
+                        jnp.uint32(0)).astype(jnp.int32)
+    no_junction = (kind != KIND_CIRCULAR) & (b_end_u <= b_start_u)
 
-    start_ref[...] = b_start[:, None]
-    end_ref[...] = b_end[:, None]
+    # Outputs carry the uint32 bit pattern in int32 refs.
+    start_ref[...] = b_start_u.astype(jnp.int32)[:, None]
+    end_ref[...] = b_end_u.astype(jnp.int32)[:, None]
     sense_ref[...] = sense[:, None]
     edits_ref[...] = edits[:, None]
     nbp_ref[...] = n_bp[:, None]
@@ -167,10 +180,12 @@ def breakpoint_search_pallas(
     from find_circ2_tpu.ops.packed import gather_window
 
     B, Lp = reads.shape
-    # Window gathers stay in XLA (same as the jnp path).
+    # Window gathers stay in XLA (same as the jnp path). Position math in
+    # uint32 (see ops/breakpoint.py).
     startA = jnp.clip(pA, 0, nbases - (Lp + 2))
     GA = gather_window(gpacked, startA, Lp + 2)
-    startB = jnp.clip(endB - lens - 2, 0, nbases - (Lp + 2))
+    startB = jnp.clip(endB - lens.astype(jnp.uint32) - 2, 0,
+                      nbases - (Lp + 2))
     GBw = gather_window(gpacked, startB, Lp + 2)
 
     pad = (-B) % BLOCK
@@ -229,6 +244,9 @@ def breakpoint_search_pallas(
             res[n] = v
         elif n == "no_junction":
             res[n] = v[:, 0].astype(jnp.bool_)
+        elif n in ("start", "end"):
+            # int32 bit pattern -> uint32 global position.
+            res[n] = v[:, 0].astype(jnp.uint32)
         else:
             res[n] = v[:, 0]
     return res

@@ -125,7 +125,7 @@ class ShardedEngine:
         self.tables = put(tables, P("index"))
         self.metas = put(metas, P("index"))
         self.chrom_offsets = put(
-            genome.chrom_offsets.astype(np.int32), P())
+            genome.chrom_offsets.astype(np.uint32), P())
 
     def detect(self, reads: np.ndarray, lens: np.ndarray):
         """reads uint8 [B, Lp], lens int32 [B]; B % n_data == 0."""

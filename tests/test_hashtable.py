@@ -43,7 +43,8 @@ def _host_lookup(qt, p12, s8):
     row = g[m][0]
     cnt_f = (int(row[1]) >> 16) & CNT_MASK
     cnt_r = (int(row[1]) >> (16 + CNT_BITS)) & CNT_MASK
-    return (cnt_f, int(row[2]), cnt_r, int(row[3]))
+    # Position lanes carry uint32 bit patterns (whole-genome scale).
+    return (cnt_f, int(np.uint32(row[2])), cnt_r, int(np.uint32(row[3])))
 
 
 def _sk_bits():

@@ -93,7 +93,7 @@ def test_shard_index_partition():
             parts.append(sh.positions[i, :cnt])
             sufs.append(sh.suffix_vals[i, :cnt])
         assert np.array_equal(np.concatenate(parts),
-                              idx.positions.astype(np.int64).astype(np.int32))
+                              idx.positions.astype(np.uint32))
         assert np.array_equal(np.concatenate(sufs),
                               idx.suffix_vals.astype(np.int32))
         # Local offsets consistent per-bucket.
@@ -105,4 +105,24 @@ def test_shard_index_partition():
             lo, hi = sh.offsets[i, lk], sh.offsets[i, lk + 1]
             want = idx.positions[offs[kv]:offs[kv + 1]]
             assert np.array_equal(sh.positions[i, lo:hi],
-                                  want.astype(np.int64).astype(np.int32))
+                                  want.astype(np.uint32))
+
+
+def test_chunked_build_bit_identical():
+    """build_index_chunked == build_index for any chunking (the whole-
+    genome path must be bit-identical to the monolithic sort)."""
+    from find_circ2_tpu.index.build import build_index_chunked
+    rng = np.random.default_rng(9)
+    seq = rng.integers(0, 4, size=50000, dtype=np.uint8)
+    seq[1234:1239] = 4  # N block
+    # Repeats so buckets have multi-entry (suffix, pos) groups.
+    seq[30000:32000] = seq[5000:7000]
+    g = Genome.from_records([("c1", seq[:33000]), ("c2", seq[33000:])], CFG)
+    ref = build_index(g, CFG)
+    for chunk in (1 << 12, 1 << 14, 1 << 20):
+        got = build_index_chunked(g, CFG, chunk=chunk)
+        assert np.array_equal(got.positions, ref.positions), chunk
+        assert np.array_equal(got.suffix_vals, ref.suffix_vals), chunk
+        assert np.array_equal(got.offsets, ref.offsets), chunk
+        assert got.bsearch_iters == ref.bsearch_iters
+        assert got.positions.dtype == np.uint32

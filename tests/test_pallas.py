@@ -32,8 +32,9 @@ def test_pallas_breakpoint_matches_jnp():
     eligible = [s for _, s in sim.reads
                 if 2 * CFG.anchor_len <= len(s) <= Lp]
     G = dindex.nbases
-    pA = rng.integers(600, G - 2000, size=B).astype(np.int32)
-    endB = (pA + rng.integers(-1500, 1500, size=B)).astype(np.int32)
+    pA = rng.integers(2000, G - 2000, size=B).astype(np.uint32)
+    endB = (pA.astype(np.int64)
+            + rng.integers(-1500, 1500, size=B)).astype(np.uint32)
     endB = np.clip(endB, 600, G - 600)
     kinds = rng.integers(0, 2, size=B).astype(np.int32)
     strands = rng.integers(0, 2, size=B).astype(np.int32)

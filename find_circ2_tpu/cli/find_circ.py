@@ -124,16 +124,22 @@ def run(args) -> int:
         from find_circ2_tpu import native
         from find_circ2_tpu.models.stream import run_fastq
         dindex = DeviceIndex.build(genome, index, cfg)
-        if (args.reads_format == "fastq" and native.available()
-                and journal is None
-                and not any(os.fspath(f).endswith(".gz")
-                            for f in args.input)):
-            # Fast path: native C FASTQ scanning + batch encoding.
-            for f in args.input:
-                run_fastq(dindex, f, agg, cfg, prefilter, times=times)
+        slowpath = (genome, index)
+        if args.reads_format == "fastq" and native.available():
+            # Fast path: native C FASTQ scanning + batch encoding; gzip
+            # and resume journals ride it too (multi-file runs use one
+            # journal per input so batch ids stay per-file).
+            for fi, f in enumerate(args.input):
+                jr = journal
+                if journal is not None and len(args.input) > 1:
+                    from find_circ2_tpu.utils.journal import RunJournal
+                    jr = RunJournal(f"{args.journal}.{fi}")
+                run_fastq(dindex, f, agg, cfg, prefilter, times=times,
+                          slowpath=slowpath, journal=jr)
         else:
             for call in run_reads(dindex, src, cfg, prefilter,
-                                  journal=journal, times=times):
+                                  journal=journal, times=times,
+                                  slowpath=slowpath):
                 agg.add(call)
     else:
         for name, seq in src:

@@ -19,6 +19,7 @@ class Config:
     prefix_len: int = 12          # direct-addressed index prefix (SPEC §1)
     max_anchor_mm: int = 1        # A_MM: enumeration ball radius (SPEC §2)
     max_bucket: int = 64          # repetitive-20-mer guard (SPEC §2)
+    max_pair_hits: int = 8        # multi-hit pairing cap (SPEC §2b)
     max_read_len: int = 160       # L_max: device padding length
     chrom_gap: int = 512          # sentinel padding around chromosomes
     min_uniq_qual: int = 10       # unique-anchor qual threshold

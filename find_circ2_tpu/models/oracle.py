@@ -82,20 +82,24 @@ def _kmer(codes: np.ndarray) -> int:
     return v
 
 
-def align_anchor(genome: Genome, index: SeedIndex, anchor: np.ndarray,
-                 cfg: Config) -> AnchorHit:
-    """SPEC.md §2 [FROZEN v2]: neighborhood-enumerated exact 20-mer search.
+def anchor_candidates(genome: Genome, index: SeedIndex,
+                      anchor: np.ndarray, cfg: Config
+                      ) -> tuple[AnchorHit, list[tuple[int, int]]]:
+    """SPEC.md §2 [FROZEN v2] single-best statistics plus the §2b
+    [FROZEN v3] capped candidate list of best-mm hits.
 
     Anchors containing any non-ACGT code are unalignable; otherwise every
     20-mer within Hamming distance A_MM of the (strand-adjusted) query is
     looked up exactly; candidate sets are disjoint across variants so
-    best/second/count statistics are pure range arithmetic.
+    best/second/count statistics are pure range arithmetic. The returned
+    list holds all (strand, position) hits at best mm, sorted by
+    (strand '+' first, position), capped at max_pair_hits.
     """
     a, pk = cfg.anchor_len, cfg.prefix_len
     if np.any(anchor >= 4):
-        return AnchorHit(aligned=False)
-    # (mm, strand, first_pos, count) per non-empty enumerated variant.
-    cands: list[tuple[int, int, int, int]] = []
+        return AnchorHit(aligned=False), []
+    # (mm, strand, first_pos, count, hits) per non-empty variant.
+    cands: list[tuple[int, int, int, int, np.ndarray]] = []
     for strand in (0, 1):
         q = anchor if strand == 0 else REVCOMP_LUT[anchor[::-1]]
         variants = [(q, 0)]
@@ -108,31 +112,38 @@ def align_anchor(genome: Genome, index: SeedIndex, anchor: np.ndarray,
             hits = index.lookup(_kmer(u[:pk]), _kmer(u[pk:]))
             if hits.size == 0 or hits.size > cfg.max_bucket:
                 continue  # empty, or repetitive-20-mer guard [FROZEN]
-            cands.append((mm, strand, int(hits[0]), int(hits.size)))
+            cands.append((mm, strand, int(hits[0]), int(hits.size), hits))
     if not cands:
-        return AnchorHit(aligned=False)
-    cands.sort()
-    best_mm, strand, pos, _ = cands[0]
+        return AnchorHit(aligned=False), []
+    cands.sort(key=lambda c: c[:4])
+    best_mm, strand, pos, _, _ = cands[0]
     n_best = sum(c[3] for c in cands if c[0] == best_mm)
     second_mm = (best_mm if n_best > 1
                  else (cands[1][0] if len(cands) > 1 else a + 1))
     qual = 0 if n_best > 1 else min(40, 10 * (second_mm - best_mm))
-    return AnchorHit(aligned=best_mm <= cfg.max_anchor_mm, pos=pos,
-                     strand=strand, mm=best_mm, n_best=n_best,
-                     second_mm=second_mm, qual=qual)
+    hit = AnchorHit(aligned=best_mm <= cfg.max_anchor_mm, pos=pos,
+                    strand=strand, mm=best_mm, n_best=n_best,
+                    second_mm=second_mm, qual=qual)
+    pairs = sorted((s, int(p)) for mm, s, _, _, hits in cands
+                   if mm == best_mm for p in hits)
+    return hit, pairs[:cfg.max_pair_hits]
+
+
+def align_anchor(genome: Genome, index: SeedIndex, anchor: np.ndarray,
+                 cfg: Config) -> AnchorHit:
+    """Single-best anchor statistics (SPEC.md §2 [FROZEN v2])."""
+    return anchor_candidates(genome, index, anchor, cfg)[0]
 
 
 def _contiguous(genome: Genome, R: np.ndarray, Rrc: np.ndarray,
-                hit: AnchorHit, side: str, cfg: Config) -> bool:
+                strand: int, p: int, side: str, cfg: Config) -> bool:
     """SPEC.md §6 pass-1 contiguous extension for one anchor hit."""
-    if not hit.aligned:
-        return False
-    G, l, a, p = genome.codes, len(R), cfg.anchor_len, hit.pos
+    G, l, a = genome.codes, len(R), cfg.anchor_len
     if side == "A":
-        seg, query = ((G[p:p + l], R) if hit.strand == 0
+        seg, query = ((G[p:p + l], R) if strand == 0
                       else (G[p + a - l:p + a], Rrc))
     else:
-        seg, query = ((G[p + a - l:p + a], R) if hit.strand == 0
+        seg, query = ((G[p + a - l:p + a], R) if strand == 0
                       else (G[p:p + l], Rrc))
     if seg.size != l:
         return False
@@ -195,49 +206,25 @@ def _sense_signal(G, kind, start, end, align_strand) -> tuple[int, str]:
     return sense, signal
 
 
-def call_read(genome: Genome, index: SeedIndex, name: str, seq: str,
-              cfg: Config, prefilter: bool = True) -> ReadCall:
-    """Full per-read pipeline: SPEC.md §2-§4, SURVEY.md §3.3 call stack."""
-    l = len(seq)
+def _pair_junction(genome: Genome, R: np.ndarray, pA: int, pB: int,
+                   l: int, cfg: Config):
+    """§4 breakpoint search for one canonicalized anchor pair.
+
+    Returns None if the pair geometry is invalid or the chosen split
+    yields a linear junction with end <= start (SPEC §2b: not viable);
+    else (kind, start, end, edits, n_bp, best_bp, canon_p, canon_m)."""
     a = cfg.anchor_len
-    if l < 2 * a:
-        return ReadCall(name, seq, ST_TOO_SHORT)
-    if l > cfg.max_read_len:
-        return ReadCall(name, seq, ST_TOO_LONG)
-    codes = seq_to_codes(seq)
-    codes_rc = REVCOMP_LUT[codes[::-1]]
-    hitA = align_anchor(genome, index, codes[:a], cfg)
-    hitB = align_anchor(genome, index, codes[-a:], cfg)
-    if prefilter and (_contiguous(genome, codes, codes_rc, hitA, "A", cfg)
-                      or _contiguous(genome, codes, codes_rc, hitB, "B", cfg)):
-        return ReadCall(name, seq, ST_PREFILTERED)
-    if not hitA.aligned:
-        return ReadCall(name, seq, ST_UNALIGNED_A)
-    if not hitB.aligned:
-        return ReadCall(name, seq, ST_UNALIGNED_B)
-    if hitA.strand != hitB.strand:
-        return ReadCall(name, seq, ST_DIFF_STRAND)
-    chromA = int(genome.chrom_of(hitA.pos))
-    chromB = int(genome.chrom_of(hitB.pos))
-    if chromA != chromB:
-        return ReadCall(name, seq, ST_DIFF_CHROM)
-    s = hitA.strand
-    if s == 0:
-        R, pA, pB = codes, hitA.pos, hitB.pos
-        qual_left, qual_right = hitA.qual, hitB.qual
-    else:
-        # Strand canonicalization [FROZEN], SPEC §3.
-        R, pA, pB = codes_rc, hitB.pos, hitA.pos
-        qual_left, qual_right = hitB.qual, hitA.qual
     endB = pB + a
     if pA + a <= pB:
         kind = KIND_LINEAR
     elif endB <= pA:
         kind = KIND_CIRCULAR
     else:
-        return ReadCall(name, seq, ST_ANCHOR_OVERLAP)
+        return None
     G = genome.codes
-    # Breakpoint search, naive per-split recomputation (SURVEY §3.3).
+    # Naive per-split recomputation (SURVEY §3.3) — deliberately the
+    # independent O(L^2) formulation the TPU prefix sums are checked
+    # against.
     scores = {}
     for bp in range(a, l - a + 1):
         mmL = _hamming(R[:bp], G[pA:pA + bp])
@@ -255,14 +242,88 @@ def call_read(genome: Genome, index: SeedIndex, name: str, seq: str,
     best_bp = min(argmin, key=tiekey)
     start, end = _junction_coords(kind, pA, endB, l, best_bp)
     if kind == KIND_LINEAR and end <= start:
+        return None
+    canon_p = _canonical(G, kind, start, end, SENSE_PLUS)
+    canon_m = _canonical(G, kind, start, end, SENSE_MINUS)
+    return kind, start, end, edits, n_bp, best_bp, canon_p, canon_m
+
+
+def call_read(genome: Genome, index: SeedIndex, name: str, seq: str,
+              cfg: Config, prefilter: bool = True) -> ReadCall:
+    """Full per-read pipeline: SPEC.md §2-§4 + §2b multi-hit pairing,
+    SURVEY.md §3.3 call stack."""
+    l = len(seq)
+    a = cfg.anchor_len
+    if l < 2 * a:
+        return ReadCall(name, seq, ST_TOO_SHORT)
+    if l > cfg.max_read_len:
+        return ReadCall(name, seq, ST_TOO_LONG)
+    codes = seq_to_codes(seq)
+    codes_rc = REVCOMP_LUT[codes[::-1]]
+    hitA, candsA = anchor_candidates(genome, index, codes[:a], cfg)
+    hitB, candsB = anchor_candidates(genome, index, codes[-a:], cfg)
+    # §2b prefilter: ANY candidate hit extending contiguously drops the
+    # read (single-candidate lists reduce to the v2 rule).
+    if prefilter and (
+            any(_contiguous(genome, codes, codes_rc, s, p, "A", cfg)
+                for s, p in candsA)
+            or any(_contiguous(genome, codes, codes_rc, s, p, "B", cfg)
+                   for s, p in candsB)):
+        return ReadCall(name, seq, ST_PREFILTERED)
+    if not hitA.aligned:
+        return ReadCall(name, seq, ST_UNALIGNED_A)
+    if not hitB.aligned:
+        return ReadCall(name, seq, ST_UNALIGNED_B)
+
+    # §2b pair exploration over the candidate lists. Winning pair =
+    # lexicographic min of (edits, !canon+, !canon-, pA, pB) [FROZEN].
+    best_key = None
+    best = None
+    for sA, posA in candsA:
+        for sB, posB in candsB:
+            if sA != sB:
+                continue
+            if sA == 0:
+                R, pA, pB = codes, posA, posB
+                qual_left, qual_right = hitA.qual, hitB.qual
+            else:
+                # Strand canonicalization [FROZEN], SPEC §3.
+                R, pA, pB = codes_rc, posB, posA
+                qual_left, qual_right = hitB.qual, hitA.qual
+            if int(genome.chrom_of(pA)) != int(genome.chrom_of(pB)):
+                continue
+            pj = _pair_junction(genome, R, pA, pB, l, cfg)
+            if pj is None:
+                continue
+            kind, start, end, edits, n_bp, best_bp, c_p, c_m = pj
+            key = (edits, not c_p, not c_m, pA, pB)
+            if best_key is None or key < best_key:
+                best_key = key
+                best = (sA, pA, pB, qual_left, qual_right, pj)
+    if best is not None:
+        s, pA, pB, qual_left, qual_right, pj = best
+        kind, start, end, edits, n_bp, best_bp, _, _ = pj
+        endB = pB + a
+        sense, signal = _sense_signal(genome.codes, kind, start, end, s)
+        seg1 = (pA, pA + best_bp)
+        seg2 = (endB - (l - best_bp), endB)
+        overlap = max(0, min(seg1[1], seg2[1]) - max(seg1[0], seg2[0]))
+        return ReadCall(
+            name=name, seq=seq, status=ST_JUNCTION, kind=kind,
+            chrom_idx=int(genome.chrom_of(pA)), start=start, end=end,
+            sense=sense, align_strand=s, edits=edits, n_bp=n_bp,
+            overlap=overlap, qual_left=qual_left, qual_right=qual_right,
+            signal=signal,
+        )
+
+    # Fallback [FROZEN]: no viable pair — v2 single-best status chain.
+    if hitA.strand != hitB.strand:
+        return ReadCall(name, seq, ST_DIFF_STRAND)
+    if int(genome.chrom_of(hitA.pos)) != int(genome.chrom_of(hitB.pos)):
+        return ReadCall(name, seq, ST_DIFF_CHROM)
+    s = hitA.strand
+    pA, pB = ((hitA.pos, hitB.pos) if s == 0 else (hitB.pos, hitA.pos))
+    endB = pB + a
+    if pA + a <= pB or endB <= pA:
         return ReadCall(name, seq, ST_NO_JUNCTION)
-    sense, signal = _sense_signal(G, kind, start, end, s)
-    seg1 = (pA, pA + best_bp)
-    seg2 = (endB - (l - best_bp), endB)
-    overlap = max(0, min(seg1[1], seg2[1]) - max(seg1[0], seg2[0]))
-    return ReadCall(
-        name=name, seq=seq, status=ST_JUNCTION, kind=kind,
-        chrom_idx=chromA, start=start, end=end, sense=sense,
-        align_strand=s, edits=edits, n_bp=n_bp, overlap=overlap,
-        qual_left=qual_left, qual_right=qual_right, signal=signal,
-    )
+    return ReadCall(name, seq, ST_ANCHOR_OVERLAP)

@@ -149,7 +149,7 @@ def detect_batch_phased(dindex: "DeviceIndex", reads, lens, cfg: Config,
 # Column order of the packed per-read result row (host readback format).
 PACK_FIELDS = ("status", "kind", "chrom", "start", "end", "sense",
                "align_strand", "edits", "n_bp", "overlap", "qual_left",
-               "qual_right", "signal")
+               "qual_right", "multi", "signal")
 
 
 @partial(jax.jit, static_argnames=("cfg", "prefilter", "nbases"))
@@ -271,13 +271,17 @@ def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
         align_strand=s.astype(jnp.int32),
         edits=bp["edits"], n_bp=bp["n_bp"], overlap=bp["overlap"],
         qual_left=qual_left, qual_right=qual_right,
+        # SPEC §2b: reads with anchor best-hit ties are re-called on the
+        # host multi-hit slow path (n_best > 1 implies the anchor aligned).
+        multi=((hits_a.n_best > 1) | (hits_b.n_best > 1)).astype(jnp.int32),
         signal=bp["signal"],
     )
 
 
 def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
               prefilter: bool = True, batch_size: int | None = None,
-              journal=None, times=None, pipeline_depth: int = 2):
+              journal=None, times=None, pipeline_depth: int = 2,
+              slowpath=None):
     """Host streaming loop: batch reads, run the device step, yield
     ReadCalls. `reads` is an iterable of (name, seq).
 
@@ -285,6 +289,11 @@ def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
     result of batch i is fetched (one ~28 ms tunnel round trip,
     detect_batch_packed) while batch i+1 computes, so readback latency
     overlaps device work — results are still consumed strictly in order.
+
+    `slowpath` = (genome, index): reads the device flags as multi-hit
+    (SPEC §2b) are re-called through the oracle's pair exploration.
+    Without it, multi reads keep their single-best device result (v2
+    semantics; tests that pin v2 behavior rely on this).
 
     With a `journal` (utils.journal.RunJournal), completed batches replay
     from disk and only unprocessed batches hit the device — the resume
@@ -316,6 +325,13 @@ def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
         batch_calls: list[ReadCall] = []
         for i, (name, seq) in enumerate(records):
             status = int(res["status"][i])
+            if (slowpath is not None and res["multi"][i]
+                    and status != ST_PREFILTERED):
+                # SPEC §2b: anchor best-hit tie -> host pair exploration.
+                from find_circ2_tpu.models.oracle import call_read
+                batch_calls.append(call_read(slowpath[0], slowpath[1],
+                                             name, seq, cfg, prefilter))
+                continue
             if status != ST_JUNCTION:
                 # Match the oracle exactly: non-junction records carry no
                 # junction fields.

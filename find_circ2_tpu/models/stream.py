@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from find_circ2_tpu.config import (RPAD_CODE, Config, ST_JUNCTION,
-                                   ST_TOO_LONG, ST_TOO_SHORT)
+                                   ST_PREFILTERED, ST_TOO_LONG,
+                                   ST_TOO_SHORT)
 from find_circ2_tpu.io.twobit import _CODE_LUT, codes_to_seq
 from find_circ2_tpu.models.aggregate import Aggregator
 from find_circ2_tpu.models.oracle import ReadCall
@@ -55,14 +56,20 @@ def _iter_records(path):
 def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
               cfg: Config = Config(), prefilter: bool = True,
               batch_size: int | None = None, times=None,
-              pipeline_depth: int = 2) -> None:
+              pipeline_depth: int = 2, slowpath=None,
+              journal=None) -> None:
     """Stream a FASTQ(.gz) file through the device pipeline into `agg`.
 
     Dispatch is pipelined `pipeline_depth` batches deep with packed
     single-array readback (pipeline.detect_batch_packed), so the ~28 ms
     tunnel round trip per batch overlaps device compute. Aggregation is
     order-insensitive (the junction merge is associative/commutative),
-    so consumption order does not affect output."""
+    so consumption order does not affect output.
+
+    `slowpath` = (genome, index): multi-hit reads re-call through the
+    oracle pair exploration (SPEC §2b). `journal` (utils.journal
+    .RunJournal): completed device batches replay from compact FastBatch
+    records on rerun — crash-resume on the production path."""
     import contextlib
     from collections import deque
 
@@ -70,30 +77,62 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
     bs = batch_size or cfg.batch_size
     Lp = cfg.max_read_len
     a2 = 2 * cfg.anchor_len
-    inflight: deque = deque()   # (buf, spans, sel, packed device array)
+    inflight: deque = deque()   # (batch_id, buf, spans, sel, packed)
+    done = journal.completed_batches() if journal is not None else {}
+    next_batch_id = 0
 
     def timed(name):
         return times.stage(name) if times is not None \
             else contextlib.nullcontext()
 
+    def replay(fast, expect_reads: int) -> None:
+        from find_circ2_tpu.utils.journal import FastBatch
+        assert isinstance(fast, FastBatch), \
+            "journal was written by the per-read path; use run_reads"
+        if fast.n_reads != expect_reads:
+            raise ValueError(
+                f"journal batch has {fast.n_reads} reads, input has "
+                f"{expect_reads}: input changed since journal")
+        agg.stats.add("reads_total",
+                      fast.n_reads - len(fast.calls))
+        for st, n in fast.counts.items():
+            agg.stats.add_status(int(st), n)
+        for call in fast.calls:
+            agg.add(call)
+
     def consume() -> None:
-        buf, spans, sel, packed = inflight.popleft()
+        batch_id, buf, spans, sel, packed = inflight.popleft()
         with timed("device_detect"):
             res = unpack_results(np.asarray(packed))
         with timed("aggregate"):
             status = res["status"][:sel.size]
-            non_junc = status != ST_JUNCTION
-            if non_junc.any():
-                agg.stats.add("reads_total", int(non_junc.sum()))
-            for st in np.unique(status[non_junc]):
-                agg.stats.add_status(int(st), int((status == st).sum()))
-            # Junction rows go through Aggregator.add (which counts
-            # reads_total/junction_reads itself).
-            for i in np.nonzero(~non_junc)[0]:
+            if slowpath is not None:
+                route = (res["multi"][:sel.size] != 0) \
+                    & (status != ST_PREFILTERED)
+            else:
+                route = np.zeros(sel.size, bool)
+            plain_skip = (status != ST_JUNCTION) & ~route
+            counts: dict[int, int] = {}
+            if plain_skip.any():
+                agg.stats.add("reads_total", int(plain_skip.sum()))
+            for st in np.unique(status[plain_skip]):
+                n = int((status[plain_skip] == st).sum())
+                counts[int(st)] = n
+                agg.stats.add_status(int(st), n)
+            batch_calls: list[ReadCall] = []
+            for i in np.nonzero(route | ((status == ST_JUNCTION)
+                                         & ~route))[0]:
                 k = sel[i]
                 name = buf[spans[k, 0]:spans[k, 1]].decode("ascii")
                 seq = buf[spans[k, 2]:spans[k, 3]].decode("ascii")
-                agg.add(ReadCall(
+                if route[i]:
+                    # SPEC §2b multi-hit slow path.
+                    from find_circ2_tpu.models.oracle import call_read
+                    batch_calls.append(call_read(
+                        slowpath[0], slowpath[1], name, seq, cfg,
+                        prefilter))
+                    continue
+                batch_calls.append(ReadCall(
                     name=name, seq=seq, status=ST_JUNCTION,
                     kind=int(res["kind"][i]),
                     chrom_idx=int(res["chrom"][i]),
@@ -108,10 +147,18 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
                     qual_right=int(res["qual_right"][i]),
                     signal=codes_to_seq(res["signal"][i]),
                 ))
+            for call in batch_calls:
+                agg.add(call)
+            if journal is not None:
+                from find_circ2_tpu.utils.journal import FastBatch
+                journal.record_fast(batch_id, FastBatch(
+                    n_reads=int(sel.size), counts=counts,
+                    calls=batch_calls))
         if times is not None:
             times.add_reads(int(sel.size))
 
     def process(buf: bytes, spans: np.ndarray) -> None:
+        nonlocal next_batch_id
         with timed("encode"):
             lens_all = (spans[:, 3] - spans[:, 2]).astype(np.int64)
             short = lens_all < a2
@@ -123,6 +170,11 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
                 agg.stats.add("reads_total", cnt)
                 agg.stats.add_status(st, cnt)
         for lo in range(0, ok_idx.size, bs):
+            batch_id = next_batch_id
+            next_batch_id += 1
+            if batch_id in done:
+                replay(done[batch_id], min(bs, ok_idx.size - lo))
+                continue
             sel = ok_idx[lo:lo + bs]
             arr = np.full((bs, Lp), RPAD_CODE, np.uint8)
             lens = np.zeros(bs, np.int32)
@@ -139,7 +191,7 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
                     packed.copy_to_host_async()
                 except AttributeError:
                     pass
-            inflight.append((buf, spans, sel, packed))
+            inflight.append((batch_id, buf, spans, sel, packed))
             if len(inflight) > pipeline_depth:
                 consume()
 

@@ -16,6 +16,16 @@ import os
 from find_circ2_tpu.models.oracle import ReadCall
 
 
+@dataclasses.dataclass
+class FastBatch:
+    """Compact journal record for the native streaming path: non-junction
+    reads are journaled as per-status counts (they carry no junction
+    fields), junction/multi-routed reads as full calls."""
+    n_reads: int
+    counts: dict          # status(int as str in JSON) -> count
+    calls: list           # list[ReadCall]
+
+
 class RunJournal:
     def __init__(self, path: str | os.PathLike) -> None:
         self.path = os.fspath(path)
@@ -45,8 +55,15 @@ class RunJournal:
             if line:
                 try:
                     rec = json.loads(line)
-                    out[rec["batch"]] = [ReadCall(**c)
-                                         for c in rec["calls"]]
+                    calls = [ReadCall(**c) for c in rec["calls"]]
+                    if "counts" in rec:
+                        out[rec["batch"]] = FastBatch(
+                            n_reads=rec["n_reads"],
+                            counts={int(k): v for k, v
+                                    in rec["counts"].items()},
+                            calls=calls)
+                    else:
+                        out[rec["batch"]] = calls
                 except (json.JSONDecodeError, KeyError, TypeError):
                     break  # torn/corrupt record: reprocess from here
             offset += len(raw) + 1
@@ -54,14 +71,21 @@ class RunJournal:
         return out
 
     def record(self, batch_id: int, calls: list[ReadCall]) -> None:
+        self._append({"batch": batch_id,
+                      "calls": [dataclasses.asdict(c) for c in calls]})
+
+    def record_fast(self, batch_id: int, fast: FastBatch) -> None:
+        self._append({"batch": batch_id, "n_reads": fast.n_reads,
+                      "counts": fast.counts,
+                      "calls": [dataclasses.asdict(c) for c in fast.calls]})
+
+    def _append(self, rec: dict) -> None:
         if self._valid_bytes is None:
             self.completed_batches()
         if (self._valid_bytes is not None and os.path.exists(self.path)
                 and os.path.getsize(self.path) > self._valid_bytes):
             with open(self.path, "r+b") as fh:
                 fh.truncate(self._valid_bytes)
-        rec = {"batch": batch_id,
-               "calls": [dataclasses.asdict(c) for c in calls]}
         with open(self.path, "at", encoding="ascii") as fh:
             fh.write(json.dumps(rec) + "\n")
             fh.flush()

@@ -1,0 +1,83 @@
+"""SPEC §2b multi-hit anchor pairing: a junction whose anchor has two
+equal best hits, where the decoy hit has the smaller genomic position.
+
+v2 single-best-hit semantics (device without slowpath) relocate the
+junction to the decoy; the v3 pair exploration recovers the true
+coordinates because the true pair has fewer breakpoint edits. Oracle and
+device+slowpath must agree exactly (VERDICT r1 item 4)."""
+
+import numpy as np
+
+from find_circ2_tpu.config import Config, KIND_CIRCULAR, ST_JUNCTION
+from find_circ2_tpu.index.build import build_index
+from find_circ2_tpu.io.genome import Genome
+from find_circ2_tpu.io.twobit import codes_to_seq
+from find_circ2_tpu.models.oracle import anchor_candidates, call_read
+from find_circ2_tpu.models.pipeline import DeviceIndex, run_reads
+
+CFG = Config()
+
+TRUE_S, DECOY_S = 20000, 5000   # local junction/decoy right-piece starts
+TRUE_E = 21000                  # local junction end (donor side)
+BP, L = 50, 100
+
+
+def _setup():
+    rng = np.random.default_rng(33)
+    seq = rng.integers(0, 4, size=30000, dtype=np.uint8)
+    # Make the seam unambiguous: adjacent splits must mismatch so the
+    # argmin is unique at bp=BP.
+    seq[TRUE_S - 1], seq[TRUE_E - 1] = 2, 3
+    seq[TRUE_S], seq[TRUE_E] = 0, 1
+    # Decoy: copy of the right piece at a LOWER position, with one
+    # mutation inside the piece but outside anchor B's 20-mer window
+    # [30, 50) — anchor B keeps two exact hits, the decoy pair scores
+    # one extra edit.
+    seq[DECOY_S:DECOY_S + BP] = seq[TRUE_S:TRUE_S + BP]
+    seq[DECOY_S + 5] = (seq[DECOY_S + 5] + 1) % 4
+    genome = Genome.from_records([("chrM", seq)], CFG)
+    index = build_index(genome, CFG)
+    # Circular read: G[E-bp : E] + G[S : S+L-bp].
+    read = np.concatenate([seq[TRUE_E - BP:TRUE_E],
+                           seq[TRUE_S:TRUE_S + (L - BP)]])
+    return genome, index, codes_to_seq(read)
+
+
+def test_anchor_candidates_two_hits():
+    genome, index, read_seq = _setup()
+    from find_circ2_tpu.io.twobit import seq_to_codes
+    codes = seq_to_codes(read_seq)
+    hitB, candsB = anchor_candidates(genome, index, codes[-20:], CFG)
+    gap = CFG.chrom_gap
+    assert hitB.n_best == 2 and hitB.qual == 0
+    assert [p - gap for _, p in candsB] == [DECOY_S + 30, TRUE_S + 30]
+    # Single-best picks the decoy (frozen min-position order).
+    assert hitB.pos - gap == DECOY_S + 30
+
+
+def test_oracle_recovers_true_junction():
+    genome, index, read_seq = _setup()
+    call = call_read(genome, index, "r", read_seq, CFG)
+    gap = CFG.chrom_gap
+    assert call.status == ST_JUNCTION and call.kind == KIND_CIRCULAR
+    assert (call.start - gap, call.end - gap) == (TRUE_S, TRUE_E)
+    assert call.edits == 0
+    # The ambiguous anchor stays non-unique (right anchor on '+').
+    assert call.qual_right == 0 and call.qual_left == 40
+
+
+def test_device_slowpath_matches_oracle_v2_misses():
+    genome, index, read_seq = _setup()
+    dindex = DeviceIndex.build(genome, index, CFG)
+    gap = CFG.chrom_gap
+    # v2 (no slowpath): junction relocated to the decoy pair.
+    [v2] = run_reads(dindex, [("r", read_seq)], CFG)
+    assert v2.status == ST_JUNCTION
+    assert v2.start - gap == DECOY_S  # the round-1 miss, pinned
+    assert v2.edits == 1
+    # v3 (slowpath): identical to the oracle.
+    [v3] = run_reads(dindex, [("r", read_seq)], CFG,
+                     slowpath=(genome, index))
+    oracle = call_read(genome, index, "r", read_seq, CFG)
+    assert v3 == oracle
+    assert (v3.start - gap, v3.end - gap) == (TRUE_S, TRUE_E)

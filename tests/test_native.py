@@ -125,3 +125,67 @@ def test_run_fastq_stream_matches_run_reads(lib_ok, tmp_path):
     bed2, stats2 = render(agg2)
     assert bed1 == bed2
     assert stats1 == stats2
+
+
+def test_run_fastq_journal_resume_and_gzip(lib_ok, tmp_path):
+    """Fast-path resume (SPEC journal on the native path) + gzip input:
+    a run killed mid-stream and rerun from its journal must produce
+    byte-identical BED + stats, and .gz input must match plain."""
+    import io as _io
+    from find_circ2_tpu.config import Config
+    from find_circ2_tpu.index.build import build_index
+    from find_circ2_tpu.io.bed import write_bed
+    from find_circ2_tpu.models.aggregate import Aggregator
+    from find_circ2_tpu.models.pipeline import DeviceIndex
+    from find_circ2_tpu.models.stream import run_fastq
+    from find_circ2_tpu.utils.journal import RunJournal
+    from find_circ2_tpu.utils.simulate import simulate
+
+    cfg = Config(batch_size=32)
+    sim = simulate(seed=62, n_circ=4, n_linear=2, reads_per_junction=4,
+                   n_contiguous=20, n_random=6, err_rate=0.3)
+    fq = tmp_path / "r.fastq"
+    with open(fq, "wt") as fh:
+        for name, seq in sim.reads:
+            write_fastq(fh, FastqRecord(name, seq, "I" * len(seq)))
+    fqgz = tmp_path / "r.fastq.gz"
+    with gzip.open(fqgz, "wb") as fh:
+        fh.write(open(fq, "rb").read())
+    idx = build_index(sim.genome, cfg)
+    dindex = DeviceIndex.build(sim.genome, idx, cfg)
+    slow = (sim.genome, idx)
+
+    def render(agg):
+        buf = _io.StringIO()
+        write_bed(buf, agg.rows("s"))
+        return buf.getvalue(), sorted(agg.stats.counts.items())
+
+    jpath = tmp_path / "fast.journal"
+    agg1 = Aggregator(sim.genome, cfg)
+    run_fastq(dindex, fq, agg1, cfg, slowpath=slow,
+              journal=RunJournal(jpath))
+    want = render(agg1)
+    n_lines = len(open(jpath).readlines())
+    assert n_lines >= 2
+
+    # Simulate a crash: keep only the first journaled batch (plus a torn
+    # tail) and rerun.
+    lines = open(jpath, "rb").read().split(b"\n")
+    with open(jpath, "wb") as fh:
+        fh.write(lines[0] + b"\n" + lines[1][:17])
+    agg2 = Aggregator(sim.genome, cfg)
+    run_fastq(dindex, fq, agg2, cfg, slowpath=slow,
+              journal=RunJournal(jpath))
+    assert render(agg2) == want
+    assert len(open(jpath).readlines()) == n_lines
+
+    # Full replay (no device work left) is still identical.
+    agg3 = Aggregator(sim.genome, cfg)
+    run_fastq(dindex, fq, agg3, cfg, slowpath=slow,
+              journal=RunJournal(jpath))
+    assert render(agg3) == want
+
+    # gzip input, no journal: identical as well.
+    agg4 = Aggregator(sim.genome, cfg)
+    run_fastq(dindex, fqgz, agg4, cfg, slowpath=slow)
+    assert render(agg4) == want

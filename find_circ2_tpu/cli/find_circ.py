@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-support", type=int, default=d.min_support)
     p.add_argument("--max-edits", type=int, default=d.filter_max_edits)
     p.add_argument("--batch-size", type=int, default=d.batch_size)
+    p.add_argument("--mesh", default=None, metavar="DATAxINDEX",
+                   help="run the sharded multi-chip engine over a "
+                   "DATAxINDEX device mesh (e.g. 2x4: data-parallel "
+                   "reads, k-mer-range-sharded index); output is "
+                   "byte-identical to the single-chip path "
+                   "(BASELINE configs[3])")
     p.add_argument("--journal", default=None,
                    help="JSONL resume journal: completed batches replay "
                    "from disk on rerun")
@@ -120,7 +126,23 @@ def run(args) -> int:
     if args.profile:
         from find_circ2_tpu.utils.profiling import StageTimes
         times = StageTimes()
-    if args.backend == "device":
+    if args.backend == "device" and args.mesh:
+        # Sharded end-to-end run: same streaming loop + aggregation, the
+        # device step swapped for the collective (data, index) engine.
+        from find_circ2_tpu.parallel.mesh import make_mesh
+        from find_circ2_tpu.parallel.sharded import ShardedEngine
+        dshape = tuple(int(x) for x in args.mesh.lower().split("x"))
+        if len(dshape) != 2:
+            raise SystemExit("--mesh expects DATAxINDEX, e.g. 2x4")
+        mesh = make_mesh(dshape[0] * dshape[1], dshape)
+        eng = ShardedEngine(genome, index, mesh, cfg, prefilter)
+        bs = -(-cfg.batch_size // eng.n_data) * eng.n_data
+        for call in run_reads(None, src, cfg, prefilter, batch_size=bs,
+                              journal=journal, times=times,
+                              slowpath=(genome, index),
+                              dispatch=eng.dispatch_packed):
+            agg.add(call)
+    elif args.backend == "device":
         from find_circ2_tpu import native
         from find_circ2_tpu.models.stream import run_fastq
         dindex = DeviceIndex.build(genome, index, cfg)

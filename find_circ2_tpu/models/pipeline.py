@@ -278,10 +278,10 @@ def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
     )
 
 
-def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
+def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
               prefilter: bool = True, batch_size: int | None = None,
               journal=None, times=None, pipeline_depth: int = 2,
-              slowpath=None):
+              slowpath=None, dispatch=None):
     """Host streaming loop: batch reads, run the device step, yield
     ReadCalls. `reads` is an iterable of (name, seq).
 
@@ -294,6 +294,12 @@ def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
     (SPEC §2b) are re-called through the oracle's pair exploration.
     Without it, multi reads keep their single-best device result (v2
     semantics; tests that pin v2 behavior rely on this).
+
+    `dispatch(arr[bs, Lp] uint8, lens[bs] int32) -> packed device array`
+    overrides the single-chip device step — the sharded engine plugs its
+    collective step in here (parallel.sharded.ShardedEngine
+    .dispatch_packed), so single-chip and sharded runs share one
+    streaming loop byte for byte.
 
     With a `journal` (utils.journal.RunJournal), completed batches replay
     from disk and only unprocessed batches hit the device — the resume
@@ -384,10 +390,13 @@ def run_reads(dindex: DeviceIndex, reads, cfg: Config = Config(),
                 arr[i, :codes.size] = codes
                 lens[i] = codes.size
         with timed("device_dispatch"):
-            packed = detect_batch_packed(
-                dindex.gpacked, dindex.nbases, dindex.table, dindex.meta,
-                dindex.chrom_offsets, jnp.asarray(arr), jnp.asarray(lens),
-                cfg, prefilter)
+            if dispatch is not None:
+                packed = dispatch(arr, lens)
+            else:
+                packed = detect_batch_packed(
+                    dindex.gpacked, dindex.nbases, dindex.table,
+                    dindex.meta, dindex.chrom_offsets, jnp.asarray(arr),
+                    jnp.asarray(lens), cfg, prefilter)
             try:
                 packed.copy_to_host_async()
             except AttributeError:

@@ -95,8 +95,14 @@ def _sort_combine(t: dict) -> dict:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def merge_junctions(res: dict, lens: jnp.ndarray, cfg: Config) -> dict:
-    """detect_batch result -> deduplicated per-junction table [B]."""
+    """detect_batch result -> deduplicated per-junction table [B].
+
+    Multi-hit-flagged rows (SPEC §2b) are excluded when present: their
+    single-best junction is provisional; the host slow path re-calls and
+    re-adds them."""
     live = (res["status"] == ST_JUNCTION) & (lens > 0)
+    if "multi" in res:
+        live = live & (res["multi"] == 0)
     uniq = ((res["qual_left"] >= cfg.min_uniq_qual)
             & (res["qual_right"] >= cfg.min_uniq_qual) & live)
     t = dict(

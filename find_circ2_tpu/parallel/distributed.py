@@ -69,6 +69,35 @@ def host_read_slice(path_records: int, host_id: int | None = None,
     return start, min(start + per, path_records)
 
 
+def allreduce_counts(vec: "np.ndarray") -> "np.ndarray":
+    """Sum an int64 counter vector across processes (SURVEY.md §5:
+    psum-aggregated cross-host stats). Single-process: identity.
+
+    Uses a one-device-per-process mesh so the collective payload is one
+    tiny vector per host over DCN."""
+    vec = np.asarray(vec, np.int64)
+    if jax.process_count() == 1:
+        return vec
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    devs = {}
+    for d in jax.devices():
+        devs.setdefault(d.process_index, d)
+    one_per_proc = np.asarray([devs[p] for p in sorted(devs)])
+    mesh = Mesh(one_per_proc, ("proc",))
+    sh = NamedSharding(mesh, P("proc"))
+    arr = jax.make_array_from_process_local_data(sh, vec[None, :])
+    out = jax.jit(lambda x: jnp.sum(x, axis=0),
+                  out_shardings=NamedSharding(mesh, P()))(arr)
+    return np.asarray(out)
+
+
+def stats_to_vec(stats, order: list[str]) -> "np.ndarray":
+    """Stats counters -> fixed-order vector for allreduce_counts."""
+    return np.asarray([stats.counts.get(k, 0) for k in order], np.int64)
+
+
 def make_engine(genome: Genome, index: SeedIndex,
                 cfg: Config = Config(), prefilter: bool = True,
                 index_parallel: int | None = None) -> ShardedEngine:

@@ -34,3 +34,17 @@ def make_mesh(n_devices: int | None = None,
         raise ValueError(f"mesh shape {shape} != {n} devices")
     dev = np.asarray(devices[:n]).reshape(data, index)
     return Mesh(dev, ("data", "index"))
+
+
+def make_hier_mesh(dhost: int, data: int, index: int) -> Mesh:
+    """Three-axis (dhost, data, index) mesh for the hierarchical junction
+    merge (SURVEY.md §7 step 6): "dhost" spans hosts (DCN), "data" and
+    "index" stay within a host (ICI). jax.devices() enumerates devices
+    host-major, so reshaping keeps each host's devices contiguous on the
+    trailing axes."""
+    n = dhost * data * index
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(dhost, data, index)
+    return Mesh(dev, ("dhost", "data", "index"))

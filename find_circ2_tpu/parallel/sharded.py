@@ -1,5 +1,5 @@
 """Sharded multi-chip detection step: shard_map over the (data, index)
-mesh.
+mesh — optionally (dhost, data, index) for multi-host runs.
 
 Reads stream data-parallel; the seed index is k-mer-range sharded
 tensor-parallel (index/shard.py); anchor-hit statistics combine across
@@ -10,6 +10,13 @@ breakpoint stage are replicated across "index" (K2's inputs are already
 globally reduced), so only K1's tiny per-anchor statistics cross chips:
 the collective payload is O(batch) int32s, riding ICI.
 
+The junction merge is HIERARCHICAL when the mesh carries a "dhost" axis
+(SURVEY.md §7 step 6): per-shard tables first all_gather + re-merge over
+the intra-host "data" axis (ICI), then the already-collapsed tables cross
+hosts over "dhost" (DCN) — the cross-host payload is one deduplicated
+table per host instead of one per chip. Merging is associative and
+commutative on integers, so both levels are bit-identical to a flat merge.
+
 This realizes BASELINE.json:5/10/11's mandated parallelism; multi-host
 execution only changes how the mesh is constructed (jax.distributed),
 not this code.
@@ -18,6 +25,7 @@ not this code.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -25,43 +33,62 @@ from find_circ2_tpu.config import Config
 from find_circ2_tpu.index.build import SeedIndex
 from find_circ2_tpu.index.hashtable import shard_query_table
 from find_circ2_tpu.io.genome import Genome
-from find_circ2_tpu.models.pipeline import detect_core, read_anchors
+from find_circ2_tpu.models.pipeline import (PACK_FIELDS, detect_core,
+                                            read_anchors)
 from find_circ2_tpu.ops.anchor_align import align_anchors
 from find_circ2_tpu.ops.merge import merge_junctions, merge_tables
 from find_circ2_tpu.ops.packed import pack_nibbles
 
 
+def _data_axes(mesh: Mesh):
+    return tuple(n for n in ("dhost", "data") if n in mesh.shape)
+
+
+def _detect(gpacked, tables, metas, chrom_offsets, reads, lens, cfg,
+            prefilter, nbases):
+    """Shared shard_map body: K1 with cross-index-shard collectives,
+    then the replicated-core detection."""
+    table_l = tables[0]
+    meta_l = metas[0]
+    anchors_a, anchors_b = read_anchors(reads, lens, cfg)
+    hits_a = align_anchors(table_l, meta_l, anchors_a, cfg,
+                           axis_name="index")
+    hits_b = align_anchors(table_l, meta_l, anchors_b, cfg,
+                           axis_name="index")
+    return detect_core(gpacked, nbases, chrom_offsets, reads, lens,
+                       hits_a, hits_b, cfg, prefilter)
+
+
 def sharded_detect_fn(mesh: Mesh, cfg: Config, nbases: int,
-                      prefilter: bool = True):
+                      prefilter: bool = True, packed: bool = False):
     """Build the jitted sharded detect step over `mesh`.
 
     Signature of the returned fn:
         fn(gpacked[W], tables[nI, T, SLOTS*LANES], metas[nI, 3],
            chrom_offsets[C], reads[B, Lp], lens[B])
-        -> dict of [B] arrays
-    B must divide evenly by the mesh's "data" size.
+        -> dict of [B] arrays, or one int32 [B, len(PACK_FIELDS)] array
+           when `packed` (same layout as pipeline.detect_batch_packed).
+    B must divide evenly by the mesh's data axes.
     """
+    da = _data_axes(mesh)
 
     def step(gpacked, tables, metas, chrom_offsets, reads, lens):
-        # Leading shard axes arrive with size 1 inside shard_map.
-        table_l = tables[0]
-        meta_l = metas[0]
-        anchors_a, anchors_b = read_anchors(reads, lens, cfg)
-        hits_a = align_anchors(table_l, meta_l, anchors_a, cfg,
-                               axis_name="index")
-        hits_b = align_anchors(table_l, meta_l, anchors_b, cfg,
-                               axis_name="index")
-        # hits_* are replicated across "index" after the collectives; the
-        # rest of the pipeline (prefilter, pairing, K2) runs data-parallel.
-        return detect_core(gpacked, nbases, chrom_offsets, reads, lens,
-                           hits_a, hits_b, cfg, prefilter)
+        res = _detect(gpacked, tables, metas, chrom_offsets, reads, lens,
+                      cfg, prefilter, nbases)
+        if not packed:
+            return res
+        sig = res["signal"].astype(jnp.int32)
+        sigp = (sig[:, 0] | (sig[:, 1] << 3) | (sig[:, 2] << 6)
+                | (sig[:, 3] << 9))
+        cols = [res[k].astype(jnp.int32) for k in PACK_FIELDS[:-1]]
+        cols.append(sigp)
+        return jnp.stack(cols, axis=1)
 
     smapped = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P("index"), P("index"), P(),
-                  P("data"), P("data")),
-        out_specs=P("data"),
+        in_specs=(P(), P("index"), P("index"), P(), P(da), P(da)),
+        out_specs=P(da),
         check_vma=False,
     )
     return jax.jit(smapped)
@@ -71,32 +98,31 @@ def sharded_detect_merge_fn(mesh: Mesh, cfg: Config, nbases: int,
                             prefilter: bool = True):
     """Like sharded_detect_fn, but additionally performs the collective
     junction dedup/merge on device (BASELINE.json:5/10): each data shard
-    collapses its per-read records with a sort+segment combine, the
-    per-shard tables are all_gather'd over the "data" axis, and the
-    gathered stack is re-merged — returning one replicated junction
-    table. Merging is associative/commutative on integers, so the result
-    is bit-identical to a single-device merge."""
+    collapses its per-read records with a sort+segment combine, tables
+    all_gather over the intra-host "data" axis (ICI) and re-merge; with a
+    "dhost" axis the collapsed tables then cross hosts (DCN) and merge
+    again — returning one replicated junction table. Multi-hit-flagged
+    reads are EXCLUDED from the device table (res["multi"], SPEC §2b) —
+    the host slow path re-calls and re-adds them."""
 
     def step(gpacked, tables, metas, chrom_offsets, reads, lens):
-        table_l = tables[0]
-        meta_l = metas[0]
-        anchors_a, anchors_b = read_anchors(reads, lens, cfg)
-        hits_a = align_anchors(table_l, meta_l, anchors_a, cfg,
-                               axis_name="index")
-        hits_b = align_anchors(table_l, meta_l, anchors_b, cfg,
-                               axis_name="index")
-        res = detect_core(gpacked, nbases, chrom_offsets, reads, lens,
-                          hits_a, hits_b, cfg, prefilter)
+        res = _detect(gpacked, tables, metas, chrom_offsets, reads, lens,
+                      cfg, prefilter, nbases)
         local = merge_junctions(res, lens, cfg)
-        gathered = {k: jax.lax.all_gather(v, "data") for k, v in
-                    local.items()}
-        return merge_tables(gathered)
+        gathered = {k: jax.lax.all_gather(v, "data")
+                    for k, v in local.items()}
+        out = merge_tables(gathered)
+        if "dhost" in mesh.shape:
+            gathered2 = {k: jax.lax.all_gather(v, "dhost")
+                         for k, v in out.items()}
+            out = merge_tables(gathered2)
+        return out
 
+    da = _data_axes(mesh)
     smapped = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P("index"), P("index"), P(),
-                  P("data"), P("data")),
+        in_specs=(P(), P("index"), P("index"), P(), P(da), P(da)),
         out_specs=P(),
         check_vma=False,
     )
@@ -112,11 +138,16 @@ class ShardedEngine:
         self.cfg = cfg
         self.mesh = mesh
         n_index = mesh.shape["index"]
-        self.n_data = mesh.shape["data"]
+        self.n_data = 1
+        for n in _data_axes(mesh):
+            self.n_data *= mesh.shape[n]
         tables, metas = shard_query_table(index, n_index, cfg)
         self.fn = sharded_detect_fn(mesh, cfg, len(genome), prefilter)
+        self.packed_fn = sharded_detect_fn(mesh, cfg, len(genome),
+                                           prefilter, packed=True)
         self.merge_fn = sharded_detect_merge_fn(mesh, cfg, len(genome),
                                                 prefilter)
+        self._data_spec = P(_data_axes(mesh))
 
         def put(x, spec):
             return jax.device_put(x, NamedSharding(mesh, spec))
@@ -127,22 +158,36 @@ class ShardedEngine:
         self.chrom_offsets = put(
             genome.chrom_offsets.astype(np.uint32), P())
 
+    def _put_batch(self, reads: np.ndarray, lens: np.ndarray):
+        """Place a batch with the data sharding. Single-process: plain
+        device_put of the global array. Multi-process: `reads`/`lens` are
+        this process's LOCAL slice of the global batch (global batch =
+        concatenation over process index)."""
+        sh_r = NamedSharding(self.mesh, self._data_spec)
+        sh_l = NamedSharding(self.mesh, self._data_spec)
+        if jax.process_count() > 1:
+            return (jax.make_array_from_process_local_data(sh_r, reads),
+                    jax.make_array_from_process_local_data(sh_l, lens))
+        return jax.device_put(reads, sh_r), jax.device_put(lens, sh_l)
+
     def detect(self, reads: np.ndarray, lens: np.ndarray):
         """reads uint8 [B, Lp], lens int32 [B]; B % n_data == 0."""
-        reads_d = jax.device_put(
-            reads, NamedSharding(self.mesh, P("data")))
-        lens_d = jax.device_put(
-            lens, NamedSharding(self.mesh, P("data")))
+        reads_d, lens_d = self._put_batch(reads, lens)
         out = self.fn(self.gpacked, self.tables, self.metas,
                       self.chrom_offsets, reads_d, lens_d)
         return {k: np.asarray(v) for k, v in out.items()}
 
+    def dispatch_packed(self, reads: np.ndarray, lens: np.ndarray):
+        """Async packed dispatch for streaming loops (pipeline.run_reads
+        `dispatch`): returns the device array without blocking."""
+        reads_d, lens_d = self._put_batch(reads, lens)
+        packed = self.packed_fn(self.gpacked, self.tables, self.metas,
+                                self.chrom_offsets, reads_d, lens_d)
+        return packed
+
     def detect_merged(self, reads: np.ndarray, lens: np.ndarray):
         """Full sharded detect + on-device collective junction merge."""
-        reads_d = jax.device_put(
-            reads, NamedSharding(self.mesh, P("data")))
-        lens_d = jax.device_put(
-            lens, NamedSharding(self.mesh, P("data")))
+        reads_d, lens_d = self._put_batch(reads, lens)
         out = self.merge_fn(self.gpacked, self.tables, self.metas,
                             self.chrom_offsets, reads_d, lens_d)
         return {k: np.asarray(v) for k, v in out.items()}

@@ -2,8 +2,10 @@
 
 Junctions identical in (chrom, start, end, strand) merge: support counts
 sum, quality fields take the best, tissues/tiss_counts concatenate in
-input order [FROZEN]. Category flags are recomputed where they depend on
-merged evidence (ANCHOR_UNIQUE / NO_UNIQ_BRIDGES / UNAMBIGUOUS_BP).
+input order [FROZEN]. The category column is re-derived from the merged
+evidence through `models.aggregate.category_flags` — the exact code path
+the Aggregator uses for fresh runs, so evidence-dependent flags cannot
+diverge between a merged table and a joint run.
 """
 
 from __future__ import annotations
@@ -12,6 +14,7 @@ import argparse
 import sys
 
 from find_circ2_tpu.io.bed import JunctionRow, read_bed, renumber, write_bed
+from find_circ2_tpu.models.aggregate import category_flags
 
 
 def merge_rows(tables: list[list[JunctionRow]]) -> list[JunctionRow]:
@@ -39,18 +42,9 @@ def merge_rows(tables: list[list[JunctionRow]]) -> list[JunctionRow]:
                     cur.strandmatch, row.strandmatch) else "NA"
     out = []
     for row in merged.values():
-        flags = [f for f in row.category.split(",") if f not in
-                 ("ANCHOR_UNIQUE", "NO_UNIQ_BRIDGES", "UNAMBIGUOUS_BP",
-                  "STRANDMATCH")]
-        if row.breakpoints == 1 and "UNAMBIGUOUS_BP" not in flags:
-            flags.insert(1, "UNAMBIGUOUS_BP")
-        flags.insert(len(flags), "ANCHOR_UNIQUE" if row.uniq_bridges
-                     else "NO_UNIQ_BRIDGES")
-        if row.strandmatch == "MATCH":
-            flags.append("STRANDMATCH")
-        # Re-impose the frozen flag order.
-        from find_circ2_tpu.config import FLAG_ORDER
-        row.category = ",".join(f for f in FLAG_ORDER if f in flags)
+        row.category = category_flags(
+            "CIRCULAR" in row.category.split(","), row.breakpoints,
+            row.uniq_bridges, row.signal, row.strandmatch)
         out.append(row)
     return out
 

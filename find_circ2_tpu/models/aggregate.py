@@ -21,6 +21,30 @@ from find_circ2_tpu.io.genome import Genome
 from find_circ2_tpu.models.oracle import ReadCall
 
 
+def category_flags(circular: bool, breakpoints: int, uniq_bridges: int,
+                   signal: str, strandmatch: str) -> str:
+    """Frozen category derivation from junction evidence (SPEC.md §5).
+
+    The single source of truth for the `category` column: the Aggregator
+    builds fresh rows through it, and `merge_bed` re-derives categories
+    from merged evidence through the same call — evidence-dependent flags
+    (UNAMBIGUOUS_BP / ANCHOR_UNIQUE / NO_UNIQ_BRIDGES / STRANDMATCH) can
+    never diverge between the two paths.
+    """
+    flags = ["CIRCULAR" if circular else "LINEAR"]
+    if breakpoints == 1:
+        flags.append("UNAMBIGUOUS_BP")
+    if uniq_bridges >= 1:
+        flags.append("ANCHOR_UNIQUE")
+    else:
+        flags.append("NO_UNIQ_BRIDGES")
+    if signal == "GTAG":
+        flags.append("CANONICAL")
+    if strandmatch == "MATCH":
+        flags.append("STRANDMATCH")
+    return ",".join(flags)
+
+
 @dataclass
 class JunctionAgg:
     kind: int
@@ -107,19 +131,8 @@ class Aggregator:
         return "PARTIAL"
 
     def _category(self, agg: JunctionAgg, strandmatch: str) -> str:
-        flags = []
-        flags.append("CIRCULAR" if agg.kind == KIND_CIRCULAR else "LINEAR")
-        if agg.n_bp == 1:
-            flags.append("UNAMBIGUOUS_BP")
-        if agg.uniq_bridges >= 1:
-            flags.append("ANCHOR_UNIQUE")
-        else:
-            flags.append("NO_UNIQ_BRIDGES")
-        if agg.signal == "GTAG":
-            flags.append("CANONICAL")
-        if strandmatch == "MATCH":
-            flags.append("STRANDMATCH")
-        return ",".join(flags)
+        return category_flags(agg.kind == KIND_CIRCULAR, agg.n_bp,
+                              agg.uniq_bridges, agg.signal, strandmatch)
 
     def rows(self, sample_name: str = "sample", prefix: str = "") -> list[JunctionRow]:
         out = []

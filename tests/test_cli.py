@@ -144,6 +144,64 @@ def test_filter_stack(tmp_path):
         assert "CIRCULAR" in r.category and "UNAMBIGUOUS_BP" in r.category
 
 
+def test_merge_bed_recomputes_category_from_evidence():
+    """Merged flags must come from models.aggregate.category_flags applied
+    to the MERGED evidence — e.g. one run's ambiguous/non-unique junction
+    becomes UNAMBIGUOUS_BP + ANCHOR_UNIQUE once another run contributes a
+    unique unambiguous read."""
+    from find_circ2_tpu.cli.merge_bed import merge_rows
+    from find_circ2_tpu.io.bed import JunctionRow
+
+    def row(uniq_bridges, breakpoints, category):
+        return JunctionRow(
+            chrom="chr1", start=100, end=900, name="x", n_reads=1,
+            strand="+", n_uniq=1, uniq_bridges=uniq_bridges,
+            best_qual_left=0, best_qual_right=0, tissues="t",
+            tiss_counts="1", edits=1, anchor_overlap=0,
+            breakpoints=breakpoints, signal="GTAG", strandmatch="NA",
+            category=category)
+
+    weak = row(0, 2, "CIRCULAR,NO_UNIQ_BRIDGES,CANONICAL")
+    strong = row(1, 1, "CIRCULAR,UNAMBIGUOUS_BP,ANCHOR_UNIQUE,CANONICAL")
+    (m,) = merge_rows([[weak], [strong]])
+    assert m.category == "CIRCULAR,UNAMBIGUOUS_BP,ANCHOR_UNIQUE,CANONICAL"
+    assert m.uniq_bridges == 1 and m.breakpoints == 1 and m.n_reads == 2
+
+
+def test_merge_bed_equals_joint_run(tmp_path):
+    """Splitting a library in two, running each half, and merge_bed-ing the
+    BEDs must agree with one joint run on every evidence field that merges
+    exactly (all but n_uniq/tissues/tiss_counts, which are per-run)."""
+    sim = simulate(seed=97, n_circ=4, n_linear=2, reads_per_junction=4,
+                   n_contiguous=4, n_random=2)
+    fa, fq = _write_inputs(tmp_path, sim)
+    lines = fq.read_text().splitlines(keepends=True)
+    recs = ["".join(lines[i:i + 4]) for i in range(0, len(lines), 4)]
+    h1, h2 = tmp_path / "h1.fastq", tmp_path / "h2.fastq"
+    h1.write_text("".join(recs[::2]))
+    h2.write_text("".join(recs[1::2]))
+    base = ["find_circ", "--reads-format", "fastq", "--backend", "oracle",
+            "-G", str(fa)]
+    b1, b2, joint = (tmp_path / f"{n}.bed" for n in ("b1", "b2", "joint"))
+    assert cli_main.main(base + [str(h1), "-o", str(b1), "-n", "s1"]) == 0
+    assert cli_main.main(base + [str(h2), "-o", str(b2), "-n", "s2"]) == 0
+    assert cli_main.main(base + [str(fq), "-o", str(joint),
+                                 "-n", "sj"]) == 0
+    merged_tbl = tmp_path / "merged.bed"
+    assert cli_main.main(["merge_bed", str(b1), str(b2),
+                          "-o", str(merged_tbl)]) == 0
+    jrows = {r.key(): r for r in read_bed(joint)}
+    mrows = {r.key(): r for r in read_bed(merged_tbl)}
+    assert jrows.keys() == mrows.keys()
+    for k, j in jrows.items():
+        m = mrows[k]
+        for f in ("n_reads", "uniq_bridges", "best_qual_left",
+                  "best_qual_right", "edits", "anchor_overlap",
+                  "breakpoints", "signal", "strandmatch", "category",
+                  "name"):
+            assert getattr(m, f) == getattr(j, f), (k, f)
+
+
 def test_multiple_input_files(tmp_path):
     """Paired-end style: R1 + R2 processed as one stream."""
     sim = simulate(seed=95, n_circ=3, n_linear=1, reads_per_junction=4)

@@ -7,28 +7,60 @@ implements the reference algorithm the way the reference does (per-read
 Python/numpy, single core) — the honest stand-in for find_circ2's own
 per-read Python hot loop (SURVEY.md §6).
 
-Usage: python bench.py [--reads N] [--batch B] [--genome-mb M]
+The bench genome is ~45% repetitive by default (tandem satellite +
+dispersed SINE/LINE-like families, utils/simulate.plant_repeats) at
+chr20 scale (64 MB, BASELINE configs[1]) — IID-random genomes make the
+MAX_BUCKET guard, cuckoo load, and gather locality unrealistically
+friendly. Alongside throughput the bench prints a memory-bound roofline:
+K1 is 244 random 32 B bucket-row gathers per read (2 anchors x 61
+canonical variants x 2 cuckoo probes) plus 4 sequential ~88 B window
+reads (prefilter + K2), so the floor is HBM-transaction-bound, not
+FLOP-bound; achieved reads/s is reported as a % of that bound.
+
+Usage: python bench.py [--genome-mb M | --sizes 32,64,256]
+                       [--repeat-frac F] [--reads N] [--batch B]
 """
 
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import sys
 import time
 
 import numpy as np
 
+# HBM peak bandwidth (bytes/s) by device kind; used only for the roofline
+# report. v5e/v5-lite: 819 GB/s (public TPU v5e spec).
+HBM_BW = {
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v4": 1228e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,
+}
+# Effective bytes an isolated random row-read costs at the HBM interface;
+# 32 B rows ride one transaction each, so the conservative bound charges
+# one minimum-granule transaction per row.
+HBM_TXN_BYTES = 512
+
 
 def make_bench_data(n_reads: int, genome_mb: float, read_len: int, cfg,
-                    seed: int = 0):
-    """Vectorized read generation: junction-crossing + contiguous reads."""
+                    seed: int = 0, repeat_frac: float = 0.45):
+    """Vectorized read generation over a repetitive genome: half the reads
+    cross planted junctions, half map contiguously; both classes sample
+    the whole genome, so anchors land in repeats at the genomic rate."""
     from find_circ2_tpu.config import RPAD_CODE
     from find_circ2_tpu.io.genome import Genome
+    from find_circ2_tpu.utils.simulate import plant_repeats
 
     rng = np.random.default_rng(seed)
     glen = int(genome_mb * 1e6)
     seq = rng.integers(0, 4, size=glen, dtype=np.uint8)
+    planted = {}
+    if repeat_frac > 0:
+        planted = plant_repeats(rng, seq, repeat_frac)
     genome = Genome.from_records([("chrB", seq)], cfg)
     a = cfg.anchor_len
     L = read_len
@@ -56,44 +88,57 @@ def make_bench_data(n_reads: int, genome_mb: float, read_len: int, cfg,
     Lp = cfg.max_read_len
     padded = np.full((n_reads, Lp), RPAD_CODE, np.uint8)
     padded[:, :L] = reads
-    return genome, padded, lens
+    return genome, padded, lens, planted
 
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--reads", type=int, default=131_072)
-    ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--genome-mb", type=float, default=32.0)
-    ap.add_argument("--read-len", type=int, default=100)
-    ap.add_argument("--oracle-sample", type=int, default=150)
-    ap.add_argument("--epochs", type=int, default=3)
-    ap.add_argument("--sharded", action="store_true",
-                    help="run the (data, index)-sharded engine over all "
-                    "attached devices and report scaling efficiency vs "
-                    "the single-chip number (BASELINE configs[3]/[4])")
-    args = ap.parse_args(argv)
+def index_repeat_stats(index, cfg):
+    """(pct of indexed positions inside >MAX_BUCKET 20-mers, n_distinct)."""
+    from find_circ2_tpu.index.hashtable import distinct_kmers
+    _, _, cnt, _ = distinct_kmers(index)
+    total = int(index.positions.size)
+    guarded = int(cnt[cnt > cfg.max_bucket].astype(np.int64).sum())
+    return (100.0 * guarded / max(1, total), int(cnt.size))
 
-    import jax
 
-    from find_circ2_tpu.config import Config
+def roofline_reads_per_s(cfg, read_len: int, bw: float):
+    """Memory-bound roofline for the per-read HBM traffic.
+
+    Returns (bytes_bound, txn_bound) in reads/s.
+    - bytes: the traffic actually needed — K1 rows (2 anchors x
+      (1+3a) variants x 2 probes x 32 B) + 4 packed windows
+      (~(Lp/8+2)*4 B each) + the read itself + the packed result row.
+    - txn: charge every K1 row one HBM_TXN_BYTES transaction (random
+      32 B reads cannot coalesce); windows are sequential and coalesce.
+    """
+    V = 1 + 3 * cfg.anchor_len
+    rows = 2 * V * 2
+    row_bytes = rows * 32
+    win_bytes = 4 * (cfg.max_read_len // 8 + 2) * 4
+    io_bytes = cfg.max_read_len + 4 + 14 * 4
+    need = row_bytes + win_bytes + io_bytes
+    txn = rows * HBM_TXN_BYTES + win_bytes + io_bytes
+    return bw / need, bw / txn
+
+
+def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
+    """Build genome+index at one size, measure throughput; returns dict."""
     from find_circ2_tpu.index.build import build_index
-    from find_circ2_tpu.models.oracle import call_read
-    from find_circ2_tpu.models.pipeline import (DeviceIndex,
+    from find_circ2_tpu.models.pipeline import (DeviceIndex, _align_phase,
+                                                _core_phase,
                                                 detect_batch_phased)
-    from find_circ2_tpu.io.twobit import codes_to_seq
-
-    cfg = Config(batch_size=args.batch)
-    dev = jax.devices()[0]
-    print(f"bench: device={dev.device_kind}, genome={args.genome_mb}MB, "
-          f"reads={args.reads}, batch={args.batch}", file=sys.stderr)
 
     t0 = time.time()
-    genome, reads, lens = make_bench_data(args.reads, args.genome_mb,
-                                          args.read_len, cfg)
+    genome, reads, lens, planted = make_bench_data(
+        args.reads, genome_mb, args.read_len, cfg, repeat_frac=args.repeat_frac)
     index = build_index(genome, cfg)
+    guard_pct, n_distinct = index_repeat_stats(index, cfg)
     dindex = DeviceIndex.build(genome, index, cfg)
-    print(f"bench: setup {time.time() - t0:.1f}s "
-          f"(index {index.positions.size} positions)", file=sys.stderr)
+    rep_mb = sum(planted.values()) / 1e6
+    print(f"bench[{genome_mb:g}MB]: setup {time.time() - t0:.1f}s — "
+          f"{index.positions.size} positions, {n_distinct} distinct "
+          f"20-mers, repeats {rep_mb:.1f}MB planted "
+          f"({100 * rep_mb / genome_mb:.0f}%), {guard_pct:.2f}% of "
+          f"positions behind the MAX_BUCKET guard", file=sys.stderr)
 
     B = args.batch
     n_batches = args.reads // B
@@ -102,16 +147,15 @@ def main(argv=None) -> int:
     lens_d = [jax.device_put(lens[i * B:(i + 1) * B])
               for i in range(n_batches)]
 
-    # Warmup / compile.
     t0 = time.time()
     out = detect_batch_phased(dindex, reads_d[0], lens_d[0], cfg, True)
     jax.block_until_ready(out)
-    print(f"bench: compile+warmup {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"bench[{genome_mb:g}MB]: compile+warmup {time.time() - t0:.1f}s",
+          file=sys.stderr)
 
-    # Several epochs; report the best (the dev tunnel suffers transient
-    # multi-x slowdowns — peak epoch reflects the hardware).
     n_done = n_batches * B
     best_dt = float("inf")
+    outs = []
     for epoch in range(args.epochs):
         t0 = time.time()
         outs = []
@@ -119,16 +163,43 @@ def main(argv=None) -> int:
             outs.append(detect_batch_phased(dindex, rb, lb, cfg, True))
         jax.block_until_ready(outs)
         dt = time.time() - t0
-        print(f"bench: epoch {epoch}: {n_done} reads in {dt:.3f}s -> "
-              f"{n_done / dt:,.0f} reads/s/chip", file=sys.stderr)
+        print(f"bench[{genome_mb:g}MB]: epoch {epoch}: {n_done} reads in "
+              f"{dt:.3f}s -> {n_done / dt:,.0f} reads/s/chip",
+              file=sys.stderr)
         best_dt = min(best_dt, dt)
     rps = n_done / best_dt
     statuses = np.concatenate([np.asarray(o["status"]) for o in outs])
     n_junc = int((statuses == 0).sum())
-    print(f"bench: best {rps:,.0f} reads/s/chip "
-          f"({n_junc} junction reads)", file=sys.stderr)
 
-    if args.sharded and len(jax.devices()) >= 1:
+    # Phase breakdown (sync per phase adds dispatch overhead; report the
+    # split, keep the un-instrumented epochs as the headline).
+    t0 = time.time()
+    hits = [_align_phase(dindex.table, dindex.meta, rb, lb, cfg)
+            for rb, lb in zip(reads_d, lens_d)]
+    jax.block_until_ready(hits)
+    t_align = time.time() - t0
+    t0 = time.time()
+    cores = [_core_phase(dindex.gpacked, dindex.nbases, dindex.chrom_offsets,
+                         rb, lb, ha, hb, cfg, True)
+             for (rb, lb), (ha, hb) in zip(zip(reads_d, lens_d), hits)]
+    jax.block_until_ready(cores)
+    t_core = time.time() - t0
+
+    dev = jax.devices()[0]
+    bw = HBM_BW.get(dev.device_kind, 819e9)
+    rl_bytes, rl_txn = roofline_reads_per_s(cfg, args.read_len, bw)
+    print(f"bench[{genome_mb:g}MB]: best {rps:,.0f} reads/s/chip "
+          f"({n_junc} junction reads) | K1 {t_align:.2f}s / core "
+          f"{t_core:.2f}s per {n_done} reads | roofline: "
+          f"{100 * rps / rl_txn:.1f}% of txn-bound {rl_txn / 1e6:.2f}M "
+          f"reads/s ({100 * rps / rl_bytes:.2f}% of pure-bytes bound "
+          f"{rl_bytes / 1e6:.1f}M)", file=sys.stderr)
+
+    result = dict(genome_mb=genome_mb, rps=rps, n_junc=n_junc,
+                  guard_pct=guard_pct, t_align=t_align, t_core=t_core,
+                  roofline_txn=rl_txn, roofline_bytes=rl_bytes)
+
+    if headline and args.sharded and len(jax.devices()) >= 1:
         from find_circ2_tpu.parallel.distributed import make_engine
         eng = make_engine(genome, index, cfg)
         n_dev = len(jax.devices())
@@ -141,6 +212,7 @@ def main(argv=None) -> int:
             t0 = time.time()
             for rb, lb in sh_batches:
                 out = eng.detect(rb, lb)
+            jax.block_until_ready(out)
             best = min(best, time.time() - t0)
         sh_rps = len(sh_batches) * bs / best
         eff = sh_rps / (rps * n_dev)
@@ -148,21 +220,127 @@ def main(argv=None) -> int:
               f"(mesh {dict(eng.mesh.shape)}): {sh_rps:,.0f} reads/s, "
               f"scaling efficiency {eff:.2f}", file=sys.stderr)
 
-    # CPU-oracle baseline on a sample.
-    sample = min(args.oracle_sample, n_done)
+    if headline:
+        # CPU-oracle baseline on a fixed-size sample of the same reads.
+        from find_circ2_tpu.io.twobit import codes_to_seq
+        from find_circ2_tpu.models.oracle import call_read
+        sample = min(args.oracle_sample, n_done)
+        t0 = time.time()
+        for i in range(sample):
+            call_read(genome, index, f"r{i}",
+                      codes_to_seq(reads[i, :args.read_len]), cfg)
+        result["oracle_rps"] = sample / (time.time() - t0)
+        print(f"bench: oracle {result['oracle_rps']:,.1f} reads/s "
+              f"(sample {sample})", file=sys.stderr)
+    return result
+
+
+def bench_filter_stack(args, cfg, jax):
+    """BASELINE configs[2]: the FULL pipeline (streaming loop + multi-hit
+    slow path + aggregation + frozen filter stack) on a simulated
+    RNase-R-treated circRNA-enrichment library; reports end-to-end
+    throughput and precision/recall of `--filter` calls vs planted truth."""
+    from find_circ2_tpu.index.build import build_index
+    from find_circ2_tpu.io.bed import passes_filter
+    from find_circ2_tpu.models.aggregate import Aggregator
+    from find_circ2_tpu.models.pipeline import DeviceIndex, run_reads
+    from find_circ2_tpu.utils.simulate import rnase_r_library
+
     t0 = time.time()
-    for i in range(sample):
-        call_read(genome, index, f"r{i}",
-                  codes_to_seq(reads[i, :args.read_len]), cfg)
-    oracle_rps = sample / (time.time() - t0)
-    print(f"bench: oracle {oracle_rps:,.1f} reads/s (sample {sample})",
+    sim = rnase_r_library(seed=7, chrom_lengths={"chrR": 16_000_000},
+                          n_circ=1500, n_linear=200, depth_mean=12.0,
+                          cfg=cfg)
+    index = build_index(sim.genome, cfg)
+    dindex = DeviceIndex.build(sim.genome, index, cfg)
+    n_reads = len(sim.reads)
+    print(f"bench[filter-stack]: setup {time.time() - t0:.1f}s — "
+          f"{n_reads} library reads, {len(sim.truths)} true junctions",
           file=sys.stderr)
 
+    t0 = time.time()
+    agg = Aggregator(sim.genome, cfg)
+    for call in run_reads(dindex, sim.reads, cfg, prefilter=True,
+                          slowpath=(sim.genome, index)):
+        agg.add(call)
+    rows = agg.rows(sample_name="rnaser")
+    filt = [r for r in rows if passes_filter(r, cfg.max_span,
+                                             cfg.min_support,
+                                             cfg.filter_max_edits)]
+    dt = time.time() - t0
+    truth = {(t.chrom, t.start, t.end) for t in sim.truths
+             if t.kind == "circular" and len(t.reads) >= cfg.min_support}
+    called = {(r.chrom, r.start, r.end) for r in filt}
+    tp = len(truth & called)
+    prec = tp / max(1, len(called))
+    rec = tp / max(1, len(truth))
+    print(f"bench[filter-stack]: {n_reads} reads end-to-end in {dt:.1f}s "
+          f"-> {n_reads / dt:,.0f} reads/s (incl. aggregation+filters) | "
+          f"{len(filt)} junctions pass the frozen stack | precision "
+          f"{prec:.3f}, recall {rec:.3f} vs {len(truth)} well-supported "
+          f"planted circles", file=sys.stderr)
+    return dict(rps=n_reads / dt, precision=prec, recall=rec)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=131_072)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--genome-mb", type=float, default=64.0,
+                    help="headline genome size (chr20-scale default)")
+    ap.add_argument("--sizes", default=None,
+                    help="CSV of genome sizes (MB) to sweep; first is the "
+                    "headline (overrides --genome-mb)")
+    ap.add_argument("--repeat-frac", type=float, default=0.45,
+                    help="fraction of the genome overwritten with repeat "
+                    "families (0 = IID random, the r01 behavior)")
+    ap.add_argument("--read-len", type=int, default=100)
+    ap.add_argument("--oracle-sample", type=int, default=500)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--filter-stack", action="store_true",
+                    help="run the BASELINE configs[2] full-filter-stack "
+                    "bench (RNase-R-like library) instead of the "
+                    "throughput sweep; JSON metric becomes end-to-end "
+                    "reads/s with vs_baseline = filtered-call F1")
+    ap.add_argument("--sharded", action="store_true",
+                    help="also run the (data, index)-sharded engine over "
+                    "all attached devices and report scaling efficiency "
+                    "(BASELINE configs[3]/[4])")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from find_circ2_tpu.config import Config
+
+    cfg = Config(batch_size=args.batch)
+    dev = jax.devices()[0]
+    if args.filter_stack:
+        r = bench_filter_stack(args, cfg, jax)
+        f1 = (2 * r["precision"] * r["recall"]
+              / max(1e-9, r["precision"] + r["recall"]))
+        print(json.dumps({
+            "metric": "filter_stack_reads_per_s",
+            "value": round(r["rps"], 1),
+            "unit": "reads/s",
+            "vs_baseline": round(f1, 4),
+        }))
+        return 0
+    sizes = ([float(s) for s in args.sizes.split(",")] if args.sizes
+             else [args.genome_mb])
+    print(f"bench: device={dev.device_kind}, sizes={sizes}MB, "
+          f"repeat_frac={args.repeat_frac}, reads={args.reads}, "
+          f"batch={args.batch}", file=sys.stderr)
+
+    results = []
+    for i, mb in enumerate(sizes):
+        results.append(bench_size(mb, args, cfg, jax, headline=(i == 0)))
+        gc.collect()
+
+    head = results[0]
     print(json.dumps({
         "metric": "reads_per_s_per_chip",
-        "value": round(rps, 1),
+        "value": round(head["rps"], 1),
         "unit": "reads/s",
-        "vs_baseline": round(rps / oracle_rps, 2),
+        "vs_baseline": round(head["rps"] / head["oracle_rps"], 2),
     }))
     return 0
 

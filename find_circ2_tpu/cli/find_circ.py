@@ -41,6 +41,23 @@ def reads_from_fastq(path):
         yield rec.name, rec.seq
 
 
+def reads_from_sam_file(path, pe: bool):
+    """Unmapped primary records from SAM text (SURVEY §3.1 `samtools view
+    -f 4` front end); with --pe, mate-2 reads are reverse-complemented to
+    mate-1 orientation (SPEC.md §7) using the 0x80 flag."""
+    from find_circ2_tpu.io.sam import reads_from_sam
+    from find_circ2_tpu.io.twobit import revcomp_seq
+    for name, seq, _qual, mate2 in reads_from_sam(path):
+        yield name, revcomp_seq(seq) if pe and mate2 else seq
+
+
+def rc_stream(it):
+    """Reverse-complement every read of a (name, seq) stream."""
+    from find_circ2_tpu.io.twobit import revcomp_seq
+    for name, seq in it:
+        yield name, revcomp_seq(seq)
+
+
 def build_parser() -> argparse.ArgumentParser:
     d = Config()
     p = argparse.ArgumentParser(
@@ -63,8 +80,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--name", default="unknown",
                    help="sample/tissue name for the tissues column")
     p.add_argument("-a", "--anchor", type=int, default=d.anchor_len)
-    p.add_argument("--reads-format", choices=("anchors", "fastq"),
-                   default="anchors")
+    p.add_argument("--reads-format", choices=("anchors", "fastq", "sam"),
+                   default="anchors",
+                   help="anchors: unmapped2anchors output; fastq: plain "
+                   "reads; sam: SAM text (.gz ok) — unmapped primary "
+                   "records are taken, the `samtools view -f 4` front "
+                   "end of the reference pipeline")
+    p.add_argument("--pe", action="store_true",
+                   help="paired-end mate handling (SPEC.md §7): mate-2 "
+                   "reads are reverse-complemented to mate-1 orientation "
+                   "before detection, so --stranded strandmatch counts "
+                   "both mates in protocol orientation. With fastq/"
+                   "anchors input, files alternate R1 R2 R1 R2...; with "
+                   "sam input, mate 2 comes from the 0x80 flag")
     p.add_argument("--stranded", action="store_true",
                    help="library is stranded: fill strandmatch column")
     p.add_argument("--no-prefilter", action="store_true",
@@ -114,9 +142,22 @@ def run(args) -> int:
     else:
         raise SystemExit("one of -G/--genome or -x/--index is required")
     import itertools
-    reader = (reads_from_anchor_fastq if args.reads_format == "anchors"
-              else reads_from_fastq)
-    src = itertools.chain.from_iterable(reader(f) for f in args.input)
+    if args.pe and args.reads_format != "sam" and len(args.input) % 2:
+        raise SystemExit("--pe expects an even number of input files "
+                         "(R1 R2 pairs); SAM input carries mate flags "
+                         "instead")
+
+    def file_stream(fi: int, f: str):
+        if args.reads_format == "sam":
+            return reads_from_sam_file(f, args.pe)
+        reader = (reads_from_anchor_fastq if args.reads_format == "anchors"
+                  else reads_from_fastq)
+        it = reader(f)
+        # --pe: odd-indexed files are mate-2 -> mate-1 orientation.
+        return rc_stream(it) if args.pe and fi % 2 else it
+
+    src = itertools.chain.from_iterable(
+        file_stream(fi, f) for fi, f in enumerate(args.input))
     prefilter = not args.no_prefilter
     agg = Aggregator(genome, cfg)
     journal = times = None
@@ -157,7 +198,8 @@ def run(args) -> int:
                     from find_circ2_tpu.utils.journal import RunJournal
                     jr = RunJournal(f"{args.journal}.{fi}")
                 run_fastq(dindex, f, agg, cfg, prefilter, times=times,
-                          slowpath=slowpath, journal=jr)
+                          slowpath=slowpath, journal=jr,
+                          revcomp=bool(args.pe and fi % 2))
         else:
             for call in run_reads(dindex, src, cfg, prefilter,
                                   journal=journal, times=times,

@@ -3,8 +3,10 @@
 Reproduces the reference tool's contract (SURVEY.md §2.1/§3.2): reads in,
 two anchor FASTQ records out per read, with the full original read encoded
 in the record name so downstream stages never re-read the input. Input is
-FASTQ(.gz); BAM input from the original is replaced by FASTQ since the
-TPU engine integrates the aligner (no samtools in this stack, SURVEY §2.2).
+FASTQ(.gz) or SAM text (`--format sam`, keeping unmapped primary records —
+the `samtools view -f 4 | unmapped2anchors` front end of the reference
+pipeline in one step); binary BAM is replaced by SAM text since the TPU
+engine integrates the aligner (no samtools in this stack, SURVEY §2.2).
 """
 
 from __future__ import annotations
@@ -13,14 +15,18 @@ import argparse
 import sys
 
 from find_circ2_tpu.config import Config
-from find_circ2_tpu.io.fastq import anchors_for_read, read_fastq, write_fastq
+from find_circ2_tpu.io.fastq import (FastqRecord, anchors_for_read,
+                                     read_fastq, write_fastq)
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="unmapped2anchors",
         description="emit anchor FASTQ records for unmapped reads")
-    p.add_argument("reads", help="FASTQ(.gz) of unmapped reads")
+    p.add_argument("reads", help="FASTQ(.gz) or SAM(.gz) of unmapped reads")
+    p.add_argument("--format", choices=("fastq", "sam"), default="fastq",
+                   help="input format; sam keeps unmapped primary "
+                   "records only (the samtools view -f 4 selection)")
     p.add_argument("-a", "--anchor", type=int,
                    default=Config().anchor_len,
                    help="anchor length (default %(default)s)")
@@ -29,12 +35,21 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _records(args):
+    if args.format == "sam":
+        from find_circ2_tpu.io.sam import reads_from_sam
+        for name, seq, qual, _mate2 in reads_from_sam(args.reads):
+            yield FastqRecord(name, seq, qual)
+    else:
+        yield from read_fastq(args.reads)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     out = sys.stdout if args.output == "-" else open(args.output, "wt")
     n_reads = n_short = 0
     try:
-        for rec in read_fastq(args.reads):
+        for rec in _records(args):
             n_reads += 1
             emitted = False
             for anc in anchors_for_read(rec, args.anchor):

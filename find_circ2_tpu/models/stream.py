@@ -57,7 +57,7 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
               cfg: Config = Config(), prefilter: bool = True,
               batch_size: int | None = None, times=None,
               pipeline_depth: int = 2, slowpath=None,
-              journal=None) -> None:
+              journal=None, revcomp: bool = False) -> None:
     """Stream a FASTQ(.gz) file through the device pipeline into `agg`.
 
     Dispatch is pipelined `pipeline_depth` batches deep with packed
@@ -69,7 +69,11 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
     `slowpath` = (genome, index): multi-hit reads re-call through the
     oracle pair exploration (SPEC §2b). `journal` (utils.journal
     .RunJournal): completed device batches replay from compact FastBatch
-    records on rerun — crash-resume on the production path."""
+    records on rerun — crash-resume on the production path.
+
+    `revcomp=True` reverse-complements every read after encoding — the
+    --pe mate-2 transform (SPEC.md §7); junction ReadCalls then carry the
+    reverse-complemented sequence (it is the processed read)."""
     import contextlib
     from collections import deque
 
@@ -125,6 +129,9 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
                 k = sel[i]
                 name = buf[spans[k, 0]:spans[k, 1]].decode("ascii")
                 seq = buf[spans[k, 2]:spans[k, 3]].decode("ascii")
+                if revcomp:
+                    from find_circ2_tpu.io.twobit import revcomp_seq
+                    seq = revcomp_seq(seq)
                 if route[i]:
                     # SPEC §2b multi-hit slow path.
                     from find_circ2_tpu.models.oracle import call_read
@@ -182,6 +189,16 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
                 native.encode_reads(buf, spans[sel, 2], spans[sel, 3],
                                     arr[:sel.size], lens[:sel.size],
                                     _CODE_LUT)
+                if revcomp:
+                    # Vectorized in-place reverse complement per true
+                    # length; padding rows (lens 0) stay RPAD via the
+                    # in-read mask.
+                    pos = np.arange(Lp, dtype=np.int64)[None, :]
+                    idx = np.clip(lens[:, None] - 1 - pos, 0, Lp - 1)
+                    r = np.take_along_axis(arr, idx, axis=1)
+                    r = np.where(r < 4, 3 - r, r)
+                    arr = np.where(pos < lens[:, None], r,
+                                   RPAD_CODE).astype(np.uint8)
             with timed("device_dispatch"):
                 packed = detect_batch_packed(
                     dindex.gpacked, dindex.nbases, dindex.table,

@@ -333,10 +333,13 @@ def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
             status = int(res["status"][i])
             if (slowpath is not None and res["multi"][i]
                     and status != ST_PREFILTERED):
-                # SPEC §2b: anchor best-hit tie -> host pair exploration.
-                from find_circ2_tpu.models.oracle import call_read
-                batch_calls.append(call_read(slowpath[0], slowpath[1],
-                                             name, seq, cfg, prefilter))
+                # SPEC §2b: anchor best-hit tie -> host pair exploration
+                # (vectorized twin of the oracle, models/multihit.py).
+                from find_circ2_tpu.models.multihit import call_read_multi
+                with timed("slowpath_multihit"):
+                    batch_calls.append(call_read_multi(
+                        slowpath[0], slowpath[1], name, seq, cfg,
+                        prefilter))
                 continue
             if status != ST_JUNCTION:
                 # Match the oracle exactly: non-junction records carry no

@@ -133,11 +133,14 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
                     from find_circ2_tpu.io.twobit import revcomp_seq
                     seq = revcomp_seq(seq)
                 if route[i]:
-                    # SPEC §2b multi-hit slow path.
-                    from find_circ2_tpu.models.oracle import call_read
-                    batch_calls.append(call_read(
-                        slowpath[0], slowpath[1], name, seq, cfg,
-                        prefilter))
+                    # SPEC §2b multi-hit slow path (vectorized twin of
+                    # the oracle, models/multihit.py).
+                    from find_circ2_tpu.models.multihit import \
+                        call_read_multi
+                    with timed("slowpath_multihit"):
+                        batch_calls.append(call_read_multi(
+                            slowpath[0], slowpath[1], name, seq, cfg,
+                            prefilter))
                     continue
                 batch_calls.append(ReadCall(
                     name=name, seq=seq, status=ST_JUNCTION,

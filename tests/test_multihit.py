@@ -81,3 +81,39 @@ def test_device_slowpath_matches_oracle_v2_misses():
     oracle = call_read(genome, index, "r", read_seq, CFG)
     assert v3 == oracle
     assert (v3.start - gap, v3.end - gap) == (TRUE_S, TRUE_E)
+
+
+def test_fast_multihit_path_equals_oracle():
+    """models/multihit.call_read_multi (the vectorized slow-path twin) is
+    field-identical to oracle.call_read on a repeat-rich library — every
+    read, not just multi ones (the fast path must also reproduce the
+    prefilter/unaligned/fallback chains)."""
+    from find_circ2_tpu.models.multihit import call_read_multi
+    from find_circ2_tpu.utils.simulate import rnase_r_library
+
+    sim = rnase_r_library(seed=13, chrom_lengths={"chrR": 500_000},
+                          n_circ=40, n_linear=8, depth_mean=4.0,
+                          repeat_frac=0.35, cfg=CFG)
+    index = build_index(sim.genome, CFG)
+    n_multi = 0
+    for name, seq in sim.reads:
+        o = call_read(sim.genome, index, name, seq, CFG)
+        f = call_read_multi(sim.genome, index, name, seq, CFG)
+        assert o == f, (name, o, f)
+        from find_circ2_tpu.io.twobit import seq_to_codes
+        c = seq_to_codes(seq)
+        hA, _ = anchor_candidates(sim.genome, index, c[:20], CFG)
+        hB, _ = anchor_candidates(sim.genome, index, c[-20:], CFG)
+        n_multi += int(hA.n_best > 1 or hB.n_best > 1)
+    assert n_multi >= 20, f"library must exercise multi reads, got {n_multi}"
+
+
+def test_fast_multihit_on_decoy_case():
+    """The planted decoy scenario resolves identically through the fast
+    path, and the streaming slowpath (which now routes through it) still
+    matches the oracle."""
+    from find_circ2_tpu.models.multihit import call_read_multi
+    genome, index, read_seq = _setup()
+    oracle = call_read(genome, index, "r", read_seq, CFG)
+    fast = call_read_multi(genome, index, "r", read_seq, CFG)
+    assert fast == oracle

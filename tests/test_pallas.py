@@ -67,3 +67,19 @@ def test_pipeline_with_pallas_k2_matches_default():
     calls1 = run_reads(d1, sim.reads, base)
     calls2 = run_reads(d1, sim.reads, pall)
     assert [c.__dict__ for c in calls1] == [c.__dict__ for c in calls2]
+
+
+def test_pallas_k1_gather_rows_matches_take():
+    """ops/pallas_k1 row-DMA gather == jnp.take (interpret mode on CPU)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from find_circ2_tpu.ops.pallas_k1 import CHUNK, gather_rows_pallas
+
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.integers(-100, 100, size=(500, 8),
+                                     dtype=np.int64).astype(np.int32))
+    idx = jnp.asarray(rng.integers(0, 500, size=2 * CHUNK,
+                                   dtype=np.int64).astype(np.int32))
+    got = gather_rows_pallas(table, idx, interpret=True)
+    want = jnp.take(table, idx, axis=0)
+    assert (np.asarray(got) == np.asarray(want)).all()

@@ -41,13 +41,17 @@ def reads_from_fastq(path):
         yield rec.name, rec.seq
 
 
-def reads_from_sam_file(path, pe: bool):
-    """Unmapped primary records from SAM text (SURVEY §3.1 `samtools view
-    -f 4` front end); with --pe, mate-2 reads are reverse-complemented to
-    mate-1 orientation (SPEC.md §7) using the 0x80 flag."""
-    from find_circ2_tpu.io.sam import reads_from_sam
+def reads_from_sam_file(path, pe: bool, fmt: str = "sam"):
+    """Unmapped primary records from SAM text or binary BAM (SURVEY §3.1
+    `samtools view -f 4` front end); with --pe, mate-2 reads are
+    reverse-complemented to mate-1 orientation (SPEC.md §7) using the
+    0x80 flag."""
     from find_circ2_tpu.io.twobit import revcomp_seq
-    for name, seq, _qual, mate2 in reads_from_sam(path):
+    if fmt == "bam":
+        from find_circ2_tpu.io.bam import reads_from_bam as reader
+    else:
+        from find_circ2_tpu.io.sam import reads_from_sam as reader
+    for name, seq, _qual, mate2 in reader(path):
         yield name, revcomp_seq(seq) if pe and mate2 else seq
 
 
@@ -80,12 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--name", default="unknown",
                    help="sample/tissue name for the tissues column")
     p.add_argument("-a", "--anchor", type=int, default=d.anchor_len)
-    p.add_argument("--reads-format", choices=("anchors", "fastq", "sam"),
+    p.add_argument("--reads-format",
+                   choices=("anchors", "fastq", "sam", "bam"),
                    default="anchors",
                    help="anchors: unmapped2anchors output; fastq: plain "
-                   "reads; sam: SAM text (.gz ok) — unmapped primary "
-                   "records are taken, the `samtools view -f 4` front "
-                   "end of the reference pipeline")
+                   "reads; sam: SAM text (.gz ok); bam: binary BAM — "
+                   "for sam/bam, unmapped primary records are taken, "
+                   "the `samtools view -f 4` front end of the reference "
+                   "pipeline")
     p.add_argument("--pe", action="store_true",
                    help="paired-end mate handling (SPEC.md §7): mate-2 "
                    "reads are reverse-complemented to mate-1 orientation "
@@ -142,14 +148,15 @@ def run(args) -> int:
     else:
         raise SystemExit("one of -G/--genome or -x/--index is required")
     import itertools
-    if args.pe and args.reads_format != "sam" and len(args.input) % 2:
+    if (args.pe and args.reads_format not in ("sam", "bam")
+            and len(args.input) % 2):
         raise SystemExit("--pe expects an even number of input files "
-                         "(R1 R2 pairs); SAM input carries mate flags "
-                         "instead")
+                         "(R1 R2 pairs); SAM/BAM input carries mate "
+                         "flags instead")
 
     def file_stream(fi: int, f: str):
-        if args.reads_format == "sam":
-            return reads_from_sam_file(f, args.pe)
+        if args.reads_format in ("sam", "bam"):
+            return reads_from_sam_file(f, args.pe, args.reads_format)
         reader = (reads_from_anchor_fastq if args.reads_format == "anchors"
                   else reads_from_fastq)
         it = reader(f)

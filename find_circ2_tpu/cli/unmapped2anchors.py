@@ -3,10 +3,10 @@
 Reproduces the reference tool's contract (SURVEY.md §2.1/§3.2): reads in,
 two anchor FASTQ records out per read, with the full original read encoded
 in the record name so downstream stages never re-read the input. Input is
-FASTQ(.gz) or SAM text (`--format sam`, keeping unmapped primary records —
-the `samtools view -f 4 | unmapped2anchors` front end of the reference
-pipeline in one step); binary BAM is replaced by SAM text since the TPU
-engine integrates the aligner (no samtools in this stack, SURVEY §2.2).
+FASTQ(.gz), SAM text (.gz) or binary BAM (sniffed by content); SAM/BAM
+keep unmapped primary records only — the
+`samtools view -f 4 | unmapped2anchors` front end of the reference
+pipeline (SURVEY §3.1) in one step, no samtools needed (SURVEY §2.2).
 """
 
 from __future__ import annotations
@@ -23,10 +23,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="unmapped2anchors",
         description="emit anchor FASTQ records for unmapped reads")
-    p.add_argument("reads", help="FASTQ(.gz) or SAM(.gz) of unmapped reads")
-    p.add_argument("--format", choices=("fastq", "sam"), default="fastq",
-                   help="input format; sam keeps unmapped primary "
-                   "records only (the samtools view -f 4 selection)")
+    p.add_argument("reads",
+                   help="FASTQ(.gz), SAM(.gz) or BAM of unmapped reads")
+    p.add_argument("--format", choices=("auto", "fastq", "sam", "bam"),
+                   default="auto",
+                   help="input format (default: sniff by content); "
+                   "sam/bam keep unmapped primary records only (the "
+                   "samtools view -f 4 selection)")
     p.add_argument("-a", "--anchor", type=int,
                    default=Config().anchor_len,
                    help="anchor length (default %(default)s)")
@@ -36,9 +39,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _records(args):
-    if args.format == "sam":
-        from find_circ2_tpu.io.sam import reads_from_sam
-        for name, seq, qual, _mate2 in reads_from_sam(args.reads):
+    fmt = args.format
+    if fmt == "auto":
+        from find_circ2_tpu.io.bam import sniff_format
+        fmt = sniff_format(args.reads)
+    if fmt in ("sam", "bam"):
+        if fmt == "sam":
+            from find_circ2_tpu.io.sam import reads_from_sam as reader
+        else:
+            from find_circ2_tpu.io.bam import reads_from_bam as reader
+        for name, seq, qual, _mate2 in reader(args.reads):
             yield FastqRecord(name, seq, qual)
     else:
         yield from read_fastq(args.reads)

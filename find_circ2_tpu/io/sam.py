@@ -15,9 +15,8 @@ produced by any aligner and recovers original reads:
 - mate flags 0x40/0x80 append `/1` / `/2` to bare names so paired records
   stay distinct, and expose `mate2` for `--pe` handling (SPEC.md §7).
 
-BAM (binary) input is out of scope by design — the reference's BAM use is
-an artifact of its samtools plumbing; SAM text is the interchange surface
-(docs/PARITY.md).
+Binary BAM input is handled by io/bam.py, which shares this module's
+`original_reads` record→read selection so the two formats cannot diverge.
 """
 
 from __future__ import annotations
@@ -76,7 +75,15 @@ def reads_from_sam(path: str | os.PathLike, unmapped_only: bool = True
     strings) are restored to the as-sequenced orientation; `unmapped_only`
     mirrors `samtools view -f 4`. Records with `*` sequence are skipped
     (their sequence lives in the primary record)."""
-    for rec in read_sam(path):
+    return original_reads(read_sam(path), unmapped_only)
+
+
+def original_reads(records: Iterator[SamRecord],
+                   unmapped_only: bool = True
+                   ) -> Iterator[tuple[str, str, str, bool]]:
+    """The record→read selection shared by SAM text and BAM input
+    (io/bam.py): one filter, so the two formats cannot diverge."""
+    for rec in records:
         if rec.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY):
             continue
         if unmapped_only and not rec.flag & FLAG_UNMAPPED:

@@ -147,9 +147,17 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
     lens_d = [jax.device_put(lens[i * B:(i + 1) * B])
               for i in range(n_batches)]
 
+    # Timing honesty: on the tunneled axon platform block_until_ready
+    # returns before execution finishes, so every timed region below ends
+    # with a tiny HOST READBACK of the last dispatched batch — the device
+    # stream is in-order, so data from batch N proves batches 0..N ran.
+    # The ~23 ms tunnel round trip is amortized over a whole epoch.
+    def barrier(o):
+        np.asarray((o["status"] if isinstance(o, dict) else o)[:1])
+
     t0 = time.time()
     out = detect_batch_phased(dindex, reads_d[0], lens_d[0], cfg, True)
-    jax.block_until_ready(out)
+    barrier(out)
     print(f"bench[{genome_mb:g}MB]: compile+warmup {time.time() - t0:.1f}s",
           file=sys.stderr)
 
@@ -161,7 +169,7 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
         outs = []
         for rb, lb in zip(reads_d, lens_d):
             outs.append(detect_batch_phased(dindex, rb, lb, cfg, True))
-        jax.block_until_ready(outs)
+        barrier(outs[-1])
         dt = time.time() - t0
         print(f"bench[{genome_mb:g}MB]: epoch {epoch}: {n_done} reads in "
               f"{dt:.3f}s -> {n_done / dt:,.0f} reads/s/chip",
@@ -176,13 +184,13 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
     t0 = time.time()
     hits = [_align_phase(dindex.table, dindex.meta, rb, lb, cfg)
             for rb, lb in zip(reads_d, lens_d)]
-    jax.block_until_ready(hits)
+    np.asarray(hits[-1][1].pos[:1])
     t_align = time.time() - t0
     t0 = time.time()
     cores = [_core_phase(dindex.gpacked, dindex.nbases, dindex.chrom_offsets,
                          rb, lb, ha, hb, cfg, True)
              for (rb, lb), (ha, hb) in zip(zip(reads_d, lens_d), hits)]
-    jax.block_until_ready(cores)
+    barrier(cores[-1])
     t_core = time.time() - t0
 
     dev = jax.devices()[0]
@@ -212,7 +220,7 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
             t0 = time.time()
             for rb, lb in sh_batches:
                 out = eng.detect(rb, lb)
-            jax.block_until_ready(out)
+            barrier(out)
             best = min(best, time.time() - t0)
         sh_rps = len(sh_batches) * bs / best
         eff = sh_rps / (rps * n_dev)

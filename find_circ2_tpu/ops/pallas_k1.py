@@ -65,10 +65,20 @@ def gather_rows_pallas(table: jnp.ndarray, idx: jnp.ndarray,
                        interpret: bool = False) -> jnp.ndarray:
     """table[idx] via explicit row DMAs; bit-identical to
     jnp.take(table, idx, axis=0). idx must be 1-D with size a multiple
-    of CHUNK (pad with 0 and slice, as the microbench does)."""
+    of CHUNK (pad with 0 and slice, as the microbench does).
+
+    On real TPUs Mosaic requires each DMA slice to be 128-lane aligned,
+    so table.shape[1] must be a multiple of 128 there (view a (T, 8)
+    bucket table as (T//16, 128) and fetch the containing tile — one
+    512 B HBM transaction either way). Interpret mode takes any width.
+    """
     (n,) = idx.shape
     assert n % CHUNK == 0, f"pad idx to a multiple of {CHUNK}"
     lanes = table.shape[1]
+    if not interpret and jax.devices()[0].platform == "tpu":
+        assert lanes % 128 == 0, (
+            "Mosaic DMA slices must be 128-lane aligned; reshape the "
+            f"table to (rows//k, 128) first (got {lanes} lanes)")
     grid = (n // CHUNK,)
     return pl.pallas_call(
         _gather_rows_kernel,

@@ -256,7 +256,8 @@ def bench_filter_stack(args, cfg, jax):
 
     t0 = time.time()
     sim = rnase_r_library(seed=7, chrom_lengths={"chrR": 16_000_000},
-                          n_circ=1500, n_linear=200, depth_mean=12.0,
+                          n_circ=1500 * args.fs_scale,
+                          n_linear=200 * args.fs_scale, depth_mean=12.0,
                           cfg=cfg)
     index = build_index(sim.genome, cfg)
     dindex = DeviceIndex.build(sim.genome, index, cfg)
@@ -265,24 +266,56 @@ def bench_filter_stack(args, cfg, jax):
           f"{n_reads} library reads, {len(sim.truths)} true junctions",
           file=sys.stderr)
 
-    # Warm the jit cache so compile time stays out of the timed loop.
+    # Warm the jit cache so compile time stays out of the timed loop:
+    # the detect program and every explore bucket size (SPEC §2b device
+    # multi-hit, ops/explore.py).
     import jax.numpy as jnp
     from find_circ2_tpu.config import RPAD_CODE
-    from find_circ2_tpu.models.pipeline import detect_batch_packed
+    from find_circ2_tpu.models.pipeline import (DeviceExplorer,
+                                                detect_batch_packed)
+    from find_circ2_tpu.ops.explore import explore_batch_packed
+    t0 = time.time()
     dummy = jnp.asarray(np.full((cfg.batch_size, cfg.max_read_len),
                                 RPAD_CODE, np.uint8))
     jax.block_until_ready(detect_batch_packed(
         dindex.gpacked, dindex.nbases, dindex.table, dindex.meta,
         dindex.chrom_offsets, dummy,
         jnp.zeros(cfg.batch_size, jnp.int32), cfg, True))
+    for b in DeviceExplorer.BUCKETS:
+        jax.block_until_ready(explore_batch_packed(
+            dindex.gpacked, dindex.nbases, dindex.table, dindex.meta,
+            dindex.ext, dindex.ext_id, dindex.chrom_offsets,
+            dummy[:b], jnp.zeros(b, jnp.int32), cfg, True))
+    print(f"bench[filter-stack]: compile+warmup {time.time() - t0:.1f}s",
+          file=sys.stderr)
 
     from find_circ2_tpu.utils.profiling import StageTimes
+    from find_circ2_tpu import native
+
     times = StageTimes()
-    t0 = time.time()
-    agg = Aggregator(sim.genome, cfg)
-    for call in run_reads(dindex, sim.reads, cfg, prefilter=True,
-                          slowpath=(sim.genome, index), times=times):
-        agg.add(call)
+    use_native = native.available()
+    if use_native:
+        # Production path: native FASTQ scan/encode + vectorized
+        # aggregation (models/stream.run_fastq) — what `find_circ
+        # --reads-format fastq` runs.
+        import os
+        import tempfile
+        from find_circ2_tpu.models.stream import run_fastq
+        fd, fq = tempfile.mkstemp(suffix=".fastq")
+        with os.fdopen(fd, "wt") as fh:
+            for name, seq in sim.reads:
+                fh.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+        t0 = time.time()
+        agg = Aggregator(sim.genome, cfg)
+        run_fastq(dindex, fq, agg, cfg, prefilter=True,
+                  slowpath=(sim.genome, index), times=times)
+        os.unlink(fq)
+    else:
+        t0 = time.time()
+        agg = Aggregator(sim.genome, cfg)
+        for call in run_reads(dindex, sim.reads, cfg, prefilter=True,
+                              slowpath=(sim.genome, index), times=times):
+            agg.add(call)
     rows = agg.rows(sample_name="rnaser")
     filt = [r for r in rows if passes_filter(r, cfg.max_span,
                                              cfg.min_support,
@@ -296,12 +329,16 @@ def bench_filter_stack(args, cfg, jax):
     rec = tp / max(1, len(truth))
     n_slow = times.counts.get("slowpath_multihit", 0)
     t_slow = times.totals.get("slowpath_multihit", 0.0)
+    t_exp = (times.totals.get("explore_dispatch", 0.0)
+             + times.totals.get("explore_multihit", 0.0))
     print(f"bench[filter-stack]: {n_reads} reads end-to-end in {dt:.1f}s "
           f"-> {n_reads / dt:,.0f} reads/s (incl. aggregation+filters; "
-          f"{n_slow} multi-hit reads took {t_slow:.1f}s on the host slow "
-          f"path) | {len(filt)} junctions pass the frozen stack | "
-          f"precision {prec:.3f}, recall {rec:.3f} vs {len(truth)} "
+          f"host slow path {n_slow} reads/{t_slow:.1f}s, device explore "
+          f"{t_exp:.1f}s) | {len(filt)} junctions pass the frozen stack "
+          f"| precision {prec:.3f}, recall {rec:.3f} vs {len(truth)} "
           f"well-supported planted circles", file=sys.stderr)
+    print("bench[filter-stack]: stages — " + times.report(),
+          file=sys.stderr)
     return dict(rps=n_reads / dt, precision=prec, recall=rec)
 
 
@@ -320,6 +357,10 @@ def main(argv=None) -> int:
     ap.add_argument("--read-len", type=int, default=100)
     ap.add_argument("--oracle-sample", type=int, default=500)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--fs-scale", type=int, default=4,
+                    help="filter-stack library size multiplier (x1500 "
+                    "circles, ~24k reads each; default 4 => ~96k reads "
+                    "so fixed overheads amortize)")
     ap.add_argument("--filter-stack", action="store_true",
                     help="run the BASELINE configs[2] full-filter-stack "
                     "bench (RNase-R-like library) instead of the "

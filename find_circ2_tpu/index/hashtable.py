@@ -86,19 +86,33 @@ class QueryTable:
     table: int32 [T_pad, SLOTS * LANES]; rows >= n_buckets are padding.
     meta:  int32 [3] = (salt0, salt1, n_buckets) — salts are uint32 bit
            patterns stored as int32.
+    ext / ext_id: SPEC §2b extras for device-side multi-hit exploration
+           (ops/explore.py). A k-mer orientation occurring c times with
+           2 <= c <= max_bucket gets its positions[1 : min(c, K)]
+           (K = max_pair_hits) stored in a fixed-width `ext` row
+           ([n_rows, 2*(K-1)] uint32: fwd block then rc block, padded
+           LARGE_POS; row 0 is the all-LARGE dummy). `ext_id`
+           (int32 [T_pad, SLOTS]) maps each table slot to its row (0 =
+           none) — a side array so the K1 fast path never pays for it.
+           None on tables built with extras=False (host-only querying).
     """
     table: np.ndarray
     meta: np.ndarray
+    ext: np.ndarray | None = None
+    ext_id: np.ndarray | None = None
 
     @property
     def n_buckets(self) -> int:
         return int(np.uint32(self.meta[2]))
 
 
-def distinct_kmers(index: SeedIndex):
-    """(p12, s8, count, first_pos) per distinct k-mer, from the sorted
-    SeedIndex (positions within a (p12, s8) group are ascending, so the
-    group head is the smallest position).
+def distinct_kmers(index: SeedIndex, with_starts: bool = False):
+    """(p12, s8, count, first_pos[, group_start]) per distinct k-mer, from
+    the sorted SeedIndex (positions within a (p12, s8) group are ascending,
+    so the group head is the smallest position). `group_start` (int64,
+    only with `with_starts`) is each group's head offset into
+    `index.positions` — the §2b extras builder slices the next
+    `min(count, K) - 1` positions from there.
 
     Memory-lean for whole-genome indexes (3G+ entries): group heads come
     from the suffix-change flags plus bucket boundaries — no per-entry
@@ -107,7 +121,8 @@ def distinct_kmers(index: SeedIndex):
     n = int(index.positions.size)
     if n == 0:
         z = np.zeros(0, np.int32)
-        return z, z, z, z
+        return (z, z, z, z, z.astype(np.int64)) if with_starts \
+            else (z, z, z, z)
     new = np.empty(n, bool)
     new[0] = True
     new[1:] = index.suffix_vals[1:] != index.suffix_vals[:-1]
@@ -118,8 +133,9 @@ def distinct_kmers(index: SeedIndex):
     starts = np.flatnonzero(new)
     cnt = np.diff(np.append(starts, n)).astype(np.int32)
     p12 = (np.searchsorted(offs, starts, side="right") - 1).astype(np.int32)
-    return (p12, index.suffix_vals[starts].astype(np.int32), cnt,
-            index.positions[starts].astype(np.uint32))
+    out = (p12, index.suffix_vals[starts].astype(np.int32), cnt,
+           index.positions[starts].astype(np.uint32))
+    return out + (starts,) if with_starts else out
 
 
 def rc_kmer(k64: np.ndarray, a: int) -> np.ndarray:
@@ -138,12 +154,14 @@ def rc_kmer(k64: np.ndarray, a: int) -> np.ndarray:
 def canonical_keys(index: SeedIndex):
     """Distinct CANONICAL k-mers with both orientations' payloads.
 
-    Returns (p12c, s8c, cnt_f, pos_f, cnt_r, pos_r), where the _f fields
-    describe occurrences of the canonical k-mer itself and the _r fields
-    occurrences of its reverse complement; a missing orientation has
-    count 0 / pos LARGE_POS. Palindromic k-mers carry the same payload on
-    both sides."""
-    p12, s8, cnt, fpos = distinct_kmers(index)
+    Returns (p12c, s8c, cnt_f, pos_f, cnt_r, pos_r, st_f, st_r), where the
+    _f fields describe occurrences of the canonical k-mer itself and the
+    _r fields occurrences of its reverse complement; a missing orientation
+    has count 0 / pos LARGE_POS / start 0. Palindromic k-mers carry the
+    same payload on both sides. `st_f`/`st_r` (int64) are each
+    orientation's group-head offset into `index.positions` — consumed by
+    the §2b extras builder (`_build_from_keys`)."""
+    p12, s8, cnt, fpos, gstart = distinct_kmers(index, with_starts=True)
     a = index.anchor_len
     sk_bits = np.uint64(2 * (a - index.prefix_len))
     k64 = (p12.astype(np.uint64) << sk_bits) | s8.astype(np.uint64)
@@ -159,10 +177,12 @@ def canonical_keys(index: SeedIndex):
     cnt_s = cnt[order]
     pos_s = fpos[order]
     pal_s = palin[order]
+    gst_s = gstart[order]
     n = c_s.size
     if n == 0:
         z = np.zeros(0, np.int32)
-        return z, z, z, z, z, z
+        z64 = np.zeros(0, np.int64)
+        return z, z, z, z, z, z, z64, z64
     first = np.empty(n, bool)
     first[0] = True
     first[1:] = c_s[1:] != c_s[:-1]
@@ -172,17 +192,22 @@ def canonical_keys(index: SeedIndex):
     pos_f = np.full(U, LARGE_POS, np.uint32)
     cnt_r = np.zeros(U, np.int32)
     pos_r = np.full(U, LARGE_POS, np.uint32)
+    st_f = np.zeros(U, np.int64)
+    st_r = np.zeros(U, np.int64)
     fwd = ~sw_s
     cnt_f[uid[fwd]] = cnt_s[fwd]
     pos_f[uid[fwd]] = pos_s[fwd]
+    st_f[uid[fwd]] = gst_s[fwd]
     cnt_r[uid[sw_s]] = cnt_s[sw_s]
     pos_r[uid[sw_s]] = pos_s[sw_s]
+    st_r[uid[sw_s]] = gst_s[sw_s]
     cnt_r[uid[pal_s]] = cnt_s[pal_s]
     pos_r[uid[pal_s]] = pos_s[pal_s]
+    st_r[uid[pal_s]] = gst_s[pal_s]
     cu = c_s[first]
     p12c = (cu >> sk_bits).astype(np.int32)
     s8c = (cu & ((np.uint64(1) << sk_bits) - np.uint64(1))).astype(np.int32)
-    return p12c, s8c, cnt_f, pos_f, cnt_r, pos_r
+    return p12c, s8c, cnt_f, pos_f, cnt_r, pos_r, st_f, st_r
 
 
 def _derive_salts(seed: int, attempt: int) -> np.ndarray:
@@ -231,22 +256,58 @@ def _try_place(p12, s8, T: int, salts: np.ndarray, rng,
 
 def build_query_table(index: SeedIndex, cfg: Config = Config(), *,
                       load: float = 0.8, seed: int = 0,
-                      pad_buckets: int | None = None) -> QueryTable:
+                      pad_buckets: int | None = None,
+                      extras: bool = True) -> QueryTable:
     """Aggregate distinct canonical k-mers and place them in a cuckoo
     table. Deterministic given (index, seed). `pad_buckets` pads the
-    table with unaddressable empty rows (sharded stacking)."""
+    table with unaddressable empty rows (sharded stacking). `extras`
+    additionally builds the §2b multi-hit position rows (QueryTable.ext)."""
     if cfg.max_bucket + 1 >= (1 << CNT_BITS):
         raise ValueError(f"max_bucket must be < {(1 << CNT_BITS) - 1} "
                          "to fit the packed count field")
     keys = canonical_keys(index)
     return _build_from_keys(*keys, load=load, seed=seed,
                             pad_buckets=pad_buckets,
-                            max_bucket=cfg.max_bucket)
+                            max_bucket=cfg.max_bucket,
+                            positions=index.positions if extras else None,
+                            max_pair_hits=cfg.max_pair_hits)
 
 
-def _build_from_keys(p12, s8, cnt_f, pos_f, cnt_r, pos_r, *, load: float,
+def _build_extras(cnt_f, st_f, cnt_r, st_r, positions, max_bucket: int,
+                  K: int):
+    """Fixed-width §2b extras rows: for each orientation with true count
+    c in [2, max_bucket], positions[start+1 : start+min(c, K)] (the
+    smallest-8-of-a-union property makes per-list K-prefixes sufficient
+    for the frozen first-K candidate cap). Returns (ext, row_id)."""
+    need_f = (cnt_f >= 2) & (cnt_f <= max_bucket)
+    need_r = (cnt_r >= 2) & (cnt_r <= max_bucket)
+    has = need_f | need_r
+    n_rows = int(has.sum())
+    if n_rows >= 2 ** 31 - 1:
+        raise ValueError("extras row count overflows int32")
+    row_id = np.zeros(cnt_f.size, np.int32)
+    row_id[has] = 1 + np.arange(n_rows, dtype=np.int32)
+    ext = np.full((1 + n_rows, 2 * (K - 1)), LARGE_POS, np.uint32)
+    j = np.arange(K - 1, dtype=np.int64)[None, :]
+    pmax = max(0, positions.size - 1)
+    for need, cnt, st, col in ((need_f, cnt_f, st_f, 0),
+                               (need_r, cnt_r, st_r, K - 1)):
+        sel = np.flatnonzero(need)
+        if sel.size == 0:
+            continue
+        m = (np.minimum(cnt[sel], K) - 1)[:, None]        # extras per kmer
+        idx = st[sel][:, None] + 1 + j
+        vals = positions[np.minimum(idx, pmax)].astype(np.uint32)
+        ext[row_id[sel], col:col + K - 1] = np.where(j < m, vals,
+                                                     LARGE_POS)
+    return ext, row_id
+
+
+def _build_from_keys(p12, s8, cnt_f, pos_f, cnt_r, pos_r,
+                     st_f=None, st_r=None, *, load: float,
                      seed: int, pad_buckets: int | None = None,
-                     max_bucket: int) -> QueryTable:
+                     max_bucket: int, positions=None,
+                     max_pair_hits: int = 8) -> QueryTable:
     D = int(p12.size)
     T = max(1, int(np.ceil(D / (SLOTS * load))))
     slot_key = None
@@ -277,21 +338,34 @@ def _build_from_keys(p12, s8, cnt_f, pos_f, cnt_r, pos_r, *, load: float,
     table[placed, 3] = pos_r[kid].astype(np.uint32).view(np.int32)
     meta = np.array([np.uint32(salts[0]).view(np.int32),
                      np.uint32(salts[1]).view(np.int32), T], np.int32)
-    return QueryTable(table=table.reshape(T_pad, SLOTS * LANES), meta=meta)
+    ext = ext_id = None
+    if positions is not None:
+        ext, row_id = _build_extras(cnt_f, st_f, cnt_r, st_r, positions,
+                                    max_bucket, max_pair_hits)
+        ext_id = np.zeros(T_pad * SLOTS, np.int32)
+        ext_id[placed] = row_id[kid]
+        ext_id = ext_id.reshape(T_pad, SLOTS)
+    return QueryTable(table=table.reshape(T_pad, SLOTS * LANES), meta=meta,
+                      ext=ext, ext_id=ext_id)
 
 
 def shard_query_table(index: SeedIndex, n_shards: int,
                       cfg: Config = Config(), *, load: float = 0.8,
-                      seed: int = 0):
+                      seed: int = 0, extras: bool = False):
     """Range-partition distinct canonical k-mers by prefix12 and build
     one QueryTable per shard, padded to a common bucket count.
 
     Returns (tables int32 [n_shards, T_pad, SLOTS*LANES],
-             metas int32 [n_shards, 3])."""
+             metas int32 [n_shards, 3]); with `extras` additionally
+             (exts uint32 [n_shards, n_rows, 2*(K-1)],
+              ext_ids int32 [n_shards, T_pad, SLOTS]) — each distinct
+             canonical k-mer's §2b positions live on its owning shard,
+             so cross-shard candidate merging is an all_gather + re-cap
+             (ops/explore.py)."""
     if cfg.max_bucket + 1 >= (1 << CNT_BITS):
         raise ValueError(f"max_bucket must be < {(1 << CNT_BITS) - 1} "
                          "to fit the packed count field")
-    p12, s8, cnt_f, pos_f, cnt_r, pos_r = canonical_keys(index)
+    p12, s8, cnt_f, pos_f, cnt_r, pos_r, st_f, st_r = canonical_keys(index)
     nb = index.n_buckets
     S = -(-nb // n_shards)
     bounds = np.searchsorted(p12, np.arange(n_shards + 1) * S)
@@ -300,12 +374,23 @@ def shard_query_table(index: SeedIndex, n_shards: int,
         lo, hi = bounds[i], bounds[i + 1]
         parts.append(_build_from_keys(
             p12[lo:hi], s8[lo:hi], cnt_f[lo:hi], pos_f[lo:hi],
-            cnt_r[lo:hi], pos_r[lo:hi], load=load, seed=seed + i,
-            max_bucket=cfg.max_bucket))
+            cnt_r[lo:hi], pos_r[lo:hi], st_f[lo:hi], st_r[lo:hi],
+            load=load, seed=seed + i, max_bucket=cfg.max_bucket,
+            positions=index.positions if extras else None,
+            max_pair_hits=cfg.max_pair_hits))
     T_pad = max(qt.table.shape[0] for qt in parts)
     tables = np.full((n_shards, T_pad, SLOTS * LANES), EMPTY_KEY, np.int32)
     metas = np.zeros((n_shards, 3), np.int32)
     for i, qt in enumerate(parts):
         tables[i, :qt.table.shape[0]] = qt.table
         metas[i] = qt.meta
-    return tables, metas
+    if not extras:
+        return tables, metas
+    K = cfg.max_pair_hits
+    R_pad = max(qt.ext.shape[0] for qt in parts)
+    exts = np.full((n_shards, R_pad, 2 * (K - 1)), LARGE_POS, np.uint32)
+    ext_ids = np.zeros((n_shards, T_pad, SLOTS), np.int32)
+    for i, qt in enumerate(parts):
+        exts[i, :qt.ext.shape[0]] = qt.ext
+        ext_ids[i, :qt.ext_id.shape[0]] = qt.ext_id
+    return tables, metas, exts, ext_ids

@@ -121,6 +121,81 @@ class Aggregator:
         if call.align_strand == call.sense:
             agg.n_strand_match += 1
 
+    def add_batch(self, res: dict, idx, seqs) -> None:
+        """Vectorized twin of `add` for unpacked device result rows.
+
+        `res` is pipeline.unpack_results output, `idx` the row indices
+        to aggregate (all must have status == ST_JUNCTION), `seqs` the
+        processed read sequence per row (aligned with `idx`; the only
+        per-read Python object this path touches). Junction keys are
+        grouped with np.unique and every accumulator updates once per
+        distinct junction instead of once per read — bit-identical to
+        looping `add` (all accumulators are commutative ints/sets;
+        tests/test_native.py pins BED equality)."""
+        import numpy as np
+
+        n = len(idx)
+        if n == 0:
+            return
+        self.stats.add("reads_total", n)
+        self.stats.add_status(ST_JUNCTION, n)
+        kind = res["kind"][idx]
+        chrom = res["chrom"][idx]
+        start = res["start"][idx].astype(np.int64)
+        end = res["end"][idx].astype(np.int64)
+        sense = res["sense"][idx]
+        ql = res["qual_left"][idx]
+        qr = res["qual_right"][idx]
+        n_circ = int((kind == KIND_CIRCULAR).sum())
+        if n_circ:
+            self.stats.add("circular_reads", n_circ)
+        if n - n_circ:
+            self.stats.add("linear_reads", n - n_circ)
+
+        keys = np.stack([kind.astype(np.int64), chrom.astype(np.int64),
+                         start, end, sense.astype(np.int64)], axis=1)
+        uk, inv = np.unique(keys, axis=0, return_inverse=True)
+        U = uk.shape[0]
+        nb = np.bincount(inv, minlength=U)
+        uniq = self.cfg.min_uniq_qual
+        bridges = np.bincount(inv, weights=(ql >= uniq) & (qr >= uniq),
+                              minlength=U).astype(np.int64)
+        smatch = np.bincount(inv, weights=sense == res["align_strand"][idx],
+                             minlength=U).astype(np.int64)
+        ql_max = np.zeros(U, np.int64)
+        qr_max = np.zeros(U, np.int64)
+        np.maximum.at(ql_max, inv, ql)
+        np.maximum.at(qr_max, inv, qr)
+        e_min = np.full(U, 1 << 30)
+        o_min = np.full(U, 1 << 30)
+        b_min = np.full(U, 1 << 30)
+        np.minimum.at(e_min, inv, res["edits"][idx])
+        np.minimum.at(o_min, inv, res["overlap"][idx])
+        np.minimum.at(b_min, inv, res["n_bp"][idx])
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(U + 1))
+        from find_circ2_tpu.io.twobit import codes_to_seq
+        for u in range(U):
+            key = (int(uk[u, 0]), int(uk[u, 1]), int(uk[u, 2]),
+                   int(uk[u, 3]), int(uk[u, 4]))
+            agg = self.junctions.get(key)
+            if agg is None:
+                first = int(idx[order[bounds[u]]])
+                agg = JunctionAgg(
+                    kind=key[0], chrom_idx=key[1], start=key[2],
+                    end=key[3], sense=key[4],
+                    signal=codes_to_seq(res["signal"][first]))
+                self.junctions[key] = agg
+            agg.n_reads += int(nb[u])
+            agg.seqs.update(seqs[j] for j in order[bounds[u]:bounds[u + 1]])
+            agg.uniq_bridges += int(bridges[u])
+            agg.best_qual_left = max(agg.best_qual_left, int(ql_max[u]))
+            agg.best_qual_right = max(agg.best_qual_right, int(qr_max[u]))
+            agg.edits = min(agg.edits, int(e_min[u]))
+            agg.overlap = min(agg.overlap, int(o_min[u]))
+            agg.n_bp = min(agg.n_bp, int(b_min[u]))
+            agg.n_strand_match += int(smatch[u])
+
     def _strandmatch(self, agg: JunctionAgg) -> str:
         if not self.cfg.stranded:
             return "NA"

@@ -37,7 +37,7 @@ from find_circ2_tpu.index.build import SeedIndex, build_index
 from find_circ2_tpu.io.genome import Genome
 from find_circ2_tpu.io.twobit import codes_to_seq, seq_to_codes
 from find_circ2_tpu.models.oracle import ReadCall
-from find_circ2_tpu.ops.anchor_align import align_anchors
+from find_circ2_tpu.ops.anchor_align import align_anchors, read_anchors
 from find_circ2_tpu.ops.breakpoint import breakpoint_search
 from find_circ2_tpu.ops.packed import gather_window, pack_nibbles
 
@@ -51,6 +51,10 @@ class DeviceIndex:
     table: jax.Array          # int32 [T, SLOTS*LANES] cuckoo table
     meta: jax.Array           # int32 [3] = (salt0, salt1, n_buckets)
     chrom_offsets: jax.Array  # int32 [n_chroms]
+    # SPEC §2b extras for device multi-hit (ops/explore.py); None on
+    # tables built without extras (host slow path handles multi reads).
+    ext: jax.Array | None = None      # uint32 [R, 2*(K-1)]
+    ext_id: jax.Array | None = None   # int32 [T, SLOTS]
 
     @classmethod
     def build(cls, genome: Genome, index: SeedIndex | None = None,
@@ -74,6 +78,9 @@ class DeviceIndex:
             meta=jnp.asarray(qtable.meta),
             chrom_offsets=jnp.asarray(
                 genome.chrom_offsets.astype(np.uint32)),
+            ext=(None if qtable.ext is None else jnp.asarray(qtable.ext)),
+            ext_id=(None if qtable.ext_id is None
+                    else jnp.asarray(qtable.ext_id)),
         )
 
 
@@ -86,16 +93,6 @@ def _full_read_mm(gpacked: jnp.ndarray, nbases: int, query: jnp.ndarray,
     q = query.astype(jnp.int32)
     neq = ((q != win) | (q >= 4) | (win >= 4)) & (pos < lens[:, None])
     return jnp.sum(neq, axis=1).astype(jnp.int32)
-
-
-def read_anchors(reads: jnp.ndarray, lens: jnp.ndarray, cfg: Config):
-    """Anchor A = first a bases; anchor B = last a bases (per true len)."""
-    a = cfg.anchor_len
-    Lp = reads.shape[1]
-    anchors_a = reads[:, :a]
-    idxb = jnp.clip(lens[:, None] - a, 0, Lp - a) + jnp.arange(a)[None, :]
-    anchors_b = jnp.take_along_axis(reads, idxb, axis=1)
-    return anchors_a, anchors_b
 
 
 @partial(jax.jit, static_argnames=("cfg", "prefilter", "nbases"))
@@ -185,6 +182,88 @@ def unpack_results(packed: np.ndarray) -> dict:
     out["signal"] = np.stack([sig & 7, (sig >> 3) & 7, (sig >> 6) & 7,
                               (sig >> 9) & 7], axis=1).astype(np.uint8)
     return out
+
+
+def call_from_row(res: dict, i: int, name: str, seq: str) -> ReadCall:
+    """One unpacked result row -> ReadCall (oracle-shaped: non-junction
+    statuses carry no junction fields)."""
+    status = int(res["status"][i])
+    if status != ST_JUNCTION:
+        return ReadCall(name, seq, status)
+    return ReadCall(
+        name=name, seq=seq, status=status,
+        kind=int(res["kind"][i]),
+        chrom_idx=int(res["chrom"][i]),
+        start=int(res["start"][i]),
+        end=int(res["end"][i]),
+        sense=int(res["sense"][i]),
+        align_strand=int(res["align_strand"][i]),
+        edits=int(res["edits"][i]),
+        n_bp=int(res["n_bp"][i]),
+        overlap=int(res["overlap"][i]),
+        qual_left=int(res["qual_left"][i]),
+        qual_right=int(res["qual_right"][i]),
+        signal=codes_to_seq(res["signal"][i]),
+    )
+
+
+class DeviceExplorer:
+    """Async dispatcher for the device §2b multi-hit path (ops/explore).
+
+    Routed reads of one detect batch are encoded and dispatched through
+    `explore_batch_packed` in fixed bucket sizes (static shapes: at most
+    len(buckets) compiled programs), so the streaming loops can overlap
+    the explore program of batch i with detect of batch i+1 and fetch
+    results one stage later. Bit-identical to the host slow path
+    (models/multihit) and the oracle — tests/test_explore.py."""
+
+    BUCKETS = (32, 256, 1024)
+
+    def __init__(self, dindex: "DeviceIndex", cfg: Config,
+                 prefilter: bool = True):
+        if dindex.ext is None or dindex.ext_id is None:
+            raise ValueError("DeviceIndex was built without §2b extras "
+                             "(extras=False); use the host slow path")
+        self.dindex = dindex
+        self.cfg = cfg
+        self.prefilter = prefilter
+
+    def dispatch(self, items: list[tuple[str, str]]):
+        """Async-dispatch routed (name, seq) reads; returns an opaque
+        handle for `fetch`. Reads must already be length-valid."""
+        cfg = self.cfg
+        d = self.dindex
+        Lp = cfg.max_read_len
+        chunks = []
+        for lo in range(0, len(items), self.BUCKETS[-1]):
+            part = items[lo:lo + self.BUCKETS[-1]]
+            bs = next(b for b in self.BUCKETS if b >= len(part))
+            arr = np.full((bs, Lp), RPAD_CODE, np.uint8)
+            lens = np.zeros(bs, np.int32)
+            for i, (_, seq) in enumerate(part):
+                codes = seq_to_codes(seq)
+                arr[i, :codes.size] = codes
+                lens[i] = codes.size
+            from find_circ2_tpu.ops.explore import explore_batch_packed
+            packed = explore_batch_packed(
+                d.gpacked, d.nbases, d.table, d.meta, d.ext, d.ext_id,
+                d.chrom_offsets, jnp.asarray(arr), jnp.asarray(lens),
+                cfg, self.prefilter)
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
+            chunks.append((part, packed))
+        return chunks
+
+    def fetch(self, chunks) -> list[ReadCall]:
+        """Block on a dispatch handle and return its ReadCalls in order."""
+        out = []
+        for part, packed in chunks:
+            res = unpack_results(np.asarray(packed))
+            out.extend(call_from_row(res, i, name, seq)
+                       for i, (name, seq) in enumerate(part))
+        return out
 
 
 def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
@@ -281,7 +360,7 @@ def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
 def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
               prefilter: bool = True, batch_size: int | None = None,
               journal=None, times=None, pipeline_depth: int = 2,
-              slowpath=None, dispatch=None):
+              slowpath=None, dispatch=None, explore: bool | None = None):
     """Host streaming loop: batch reads, run the device step, yield
     ReadCalls. `reads` is an iterable of (name, seq).
 
@@ -290,10 +369,15 @@ def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
     detect_batch_packed) while batch i+1 computes, so readback latency
     overlaps device work — results are still consumed strictly in order.
 
-    `slowpath` = (genome, index): reads the device flags as multi-hit
-    (SPEC §2b) are re-called through the oracle's pair exploration.
-    Without it, multi reads keep their single-best device result (v2
-    semantics; tests that pin v2 behavior rely on this).
+    `slowpath` = (genome, index) enables SPEC §2b multi-hit pairing:
+    reads the device flags as multi are re-called through pair
+    exploration. Without it, multi reads keep their single-best device
+    result (v2 semantics; tests that pin v2 behavior rely on this). HOW
+    §2b is computed is chosen by `explore`: None (auto) uses the device
+    program (ops/explore.py) when the index carries §2b extras, else the
+    vectorized host path (models/multihit.py); True forces the device
+    (error without extras); False forces the host. All three are
+    bit-identical (tests/test_explore.py, tests/test_multihit.py).
 
     `dispatch(arr[bs, Lp] uint8, lens[bs] int32) -> packed device array`
     overrides the single-chip device step — the sharded engine plugs its
@@ -316,57 +400,70 @@ def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
     done = journal.completed_batches() if journal is not None else {}
     batch_id = 0
     inflight: deque = deque()   # (batch_id, records, packed device array)
+    explorer = None
+    if explore is None:
+        explore = (slowpath is not None and dindex is not None
+                   and dindex.ext is not None)
+    if explore:
+        explorer = DeviceExplorer(dindex, cfg, prefilter)
+    # Stage 2: batches whose routed reads await explore results.
+    # (batch_id, batch_calls-with-None-slots, route_slots, handle)
+    finishing: deque = deque()
 
     def timed(name):
         return times.stage(name) if times is not None \
             else contextlib.nullcontext()
 
-    def consume():
-        this_id, records, packed = inflight.popleft()
-        if packed is None:          # journal replay, already ReadCalls
-            out.extend(records)
-            return
-        with timed("device_detect"):
-            res = unpack_results(np.asarray(packed))
-        batch_calls: list[ReadCall] = []
-        for i, (name, seq) in enumerate(records):
-            status = int(res["status"][i])
-            if (slowpath is not None and res["multi"][i]
-                    and status != ST_PREFILTERED):
-                # SPEC §2b: anchor best-hit tie -> host pair exploration
-                # (vectorized twin of the oracle, models/multihit.py).
-                from find_circ2_tpu.models.multihit import call_read_multi
-                with timed("slowpath_multihit"):
-                    batch_calls.append(call_read_multi(
-                        slowpath[0], slowpath[1], name, seq, cfg,
-                        prefilter))
-                continue
-            if status != ST_JUNCTION:
-                # Match the oracle exactly: non-junction records carry no
-                # junction fields.
-                batch_calls.append(ReadCall(name, seq, status))
-                continue
-            batch_calls.append(ReadCall(
-                name=name, seq=seq,
-                status=status,
-                kind=int(res["kind"][i]),
-                chrom_idx=int(res["chrom"][i]),
-                start=int(res["start"][i]),
-                end=int(res["end"][i]),
-                sense=int(res["sense"][i]),
-                align_strand=int(res["align_strand"][i]),
-                edits=int(res["edits"][i]),
-                n_bp=int(res["n_bp"][i]),
-                overlap=int(res["overlap"][i]),
-                qual_left=int(res["qual_left"][i]),
-                qual_right=int(res["qual_right"][i]),
-                signal=codes_to_seq(res["signal"][i]),
-            ))
-        if journal is not None:
+    def finalize():
+        this_id, batch_calls, route_slots, handle = finishing.popleft()
+        if handle is not None:
+            with timed("explore_multihit"):
+                calls = explorer.fetch(handle)
+            for slot, call in zip(route_slots, calls):
+                batch_calls[slot] = call
+        if journal is not None and this_id is not None:
             journal.record(this_id, batch_calls)
-        if times is not None:
+        if times is not None and this_id is not None:
             times.add_reads(len(batch_calls))
         out.extend(batch_calls)
+
+    def consume():
+        this_id, records, packed = inflight.popleft()
+        if packed is None:          # journal replay / loose ReadCalls
+            finishing.append((None, records, (), None))
+        else:
+            with timed("device_detect"):
+                res = unpack_results(np.asarray(packed))
+            batch_calls: list[ReadCall] = []
+            route_slots: list[int] = []
+            routed: list[tuple[str, str]] = []
+            for i, (name, seq) in enumerate(records):
+                status = int(res["status"][i])
+                if (slowpath is not None or explore) and res["multi"][i] \
+                        and status != ST_PREFILTERED:
+                    # SPEC §2b: anchor best-hit tie -> pair exploration.
+                    if explorer is not None:
+                        route_slots.append(len(batch_calls))
+                        routed.append((name, seq))
+                        batch_calls.append(None)
+                        continue
+                    from find_circ2_tpu.models.multihit import \
+                        call_read_multi
+                    with timed("slowpath_multihit"):
+                        batch_calls.append(call_read_multi(
+                            slowpath[0], slowpath[1], name, seq, cfg,
+                            prefilter))
+                    continue
+                batch_calls.append(call_from_row(res, i, name, seq))
+            handle = None
+            if routed:
+                with timed("explore_dispatch"):
+                    handle = explorer.dispatch(routed)
+            finishing.append((this_id, batch_calls, route_slots, handle))
+        # Keep one explore-pending batch in flight so its program
+        # overlaps the next detect batch.
+        while len(finishing) > 1:
+            finalize()
 
     def flush():
         nonlocal batch_id
@@ -430,4 +527,6 @@ def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
     flush()
     while inflight:
         consume()
+    while finishing:
+        finalize()
     return out

@@ -57,7 +57,8 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
               cfg: Config = Config(), prefilter: bool = True,
               batch_size: int | None = None, times=None,
               pipeline_depth: int = 2, slowpath=None,
-              journal=None, revcomp: bool = False) -> None:
+              journal=None, revcomp: bool = False,
+              explore: bool | None = None) -> None:
     """Stream a FASTQ(.gz) file through the device pipeline into `agg`.
 
     Dispatch is pipelined `pipeline_depth` batches deep with packed
@@ -66,10 +67,13 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
     order-insensitive (the junction merge is associative/commutative),
     so consumption order does not affect output.
 
-    `slowpath` = (genome, index): multi-hit reads re-call through the
-    oracle pair exploration (SPEC §2b). `journal` (utils.journal
-    .RunJournal): completed device batches replay from compact FastBatch
-    records on rerun — crash-resume on the production path.
+    `slowpath` = (genome, index) enables SPEC §2b multi-hit pairing;
+    `explore` picks how (exactly as pipeline.run_reads: None = auto-use
+    the device program when the index has §2b extras, True = force
+    device, False = force the vectorized host path). `journal`
+    (utils.journal.RunJournal): completed device batches replay from
+    compact FastBatch records on rerun — crash-resume on the production
+    path.
 
     `revcomp=True` reverse-complements every read after encoding — the
     --pe mate-2 transform (SPEC.md §7); junction ReadCalls then carry the
@@ -84,10 +88,34 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
     inflight: deque = deque()   # (batch_id, buf, spans, sel, packed)
     done = journal.completed_batches() if journal is not None else {}
     next_batch_id = 0
+    explorer = None
+    if explore is None:
+        explore = slowpath is not None and dindex.ext is not None
+    if explore:
+        from find_circ2_tpu.models.pipeline import DeviceExplorer
+        explorer = DeviceExplorer(dindex, cfg, prefilter)
+    # Stage 2: batches whose routed reads await explore results.
+    # (batch_id, n_reads, counts, batch_calls, handle)
+    finishing: deque = deque()
 
     def timed(name):
         return times.stage(name) if times is not None \
             else contextlib.nullcontext()
+
+    def finalize() -> None:
+        batch_id, n_reads, counts, batch_calls, handle = \
+            finishing.popleft()
+        if handle is not None:
+            with timed("explore_multihit"):
+                batch_calls = batch_calls + explorer.fetch(handle)
+        for call in batch_calls:
+            agg.add(call)
+        if journal is not None:
+            from find_circ2_tpu.utils.journal import FastBatch
+            journal.record_fast(batch_id, FastBatch(
+                n_reads=n_reads, counts=counts, calls=batch_calls))
+        if times is not None:
+            times.add_reads(n_reads)
 
     def replay(fast, expect_reads: int) -> None:
         from find_circ2_tpu.utils.journal import FastBatch
@@ -110,7 +138,7 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
             res = unpack_results(np.asarray(packed))
         with timed("aggregate"):
             status = res["status"][:sel.size]
-            if slowpath is not None:
+            if slowpath is not None or explorer is not None:
                 route = (res["multi"][:sel.size] != 0) \
                     & (status != ST_PREFILTERED)
             else:
@@ -123,27 +151,32 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
                 n = int((status[plain_skip] == st).sum())
                 counts[int(st)] = n
                 agg.stats.add_status(int(st), n)
-            batch_calls: list[ReadCall] = []
-            for i in np.nonzero(route | ((status == ST_JUNCTION)
-                                         & ~route))[0]:
+            def read_seq(i: int) -> str:
                 k = sel[i]
-                name = buf[spans[k, 0]:spans[k, 1]].decode("ascii")
                 seq = buf[spans[k, 2]:spans[k, 3]].decode("ascii")
                 if revcomp:
                     from find_circ2_tpu.io.twobit import revcomp_seq
                     seq = revcomp_seq(seq)
-                if route[i]:
-                    # SPEC §2b multi-hit slow path (vectorized twin of
-                    # the oracle, models/multihit.py).
-                    from find_circ2_tpu.models.multihit import \
-                        call_read_multi
-                    with timed("slowpath_multihit"):
-                        batch_calls.append(call_read_multi(
-                            slowpath[0], slowpath[1], name, seq, cfg,
-                            prefilter))
-                    continue
+                return seq
+
+            def read_name(i: int) -> str:
+                k = sel[i]
+                return buf[spans[k, 0]:spans[k, 1]].decode("ascii")
+
+            batch_calls: list[ReadCall] = []
+            routed: list[tuple[str, str]] = []
+            jidx = np.nonzero((status == ST_JUNCTION) & ~route)[0]
+            if journal is None:
+                # Vectorized junction aggregation: one update per
+                # distinct junction, no per-read ReadCall objects —
+                # journal runs keep the per-read path below so replay
+                # records stay complete.
+                agg.add_batch(res, jidx, [read_seq(i) for i in jidx])
+                jidx = jidx[:0]
+            for i in jidx:
                 batch_calls.append(ReadCall(
-                    name=name, seq=seq, status=ST_JUNCTION,
+                    name=read_name(i), seq=read_seq(i),
+                    status=ST_JUNCTION,
                     kind=int(res["kind"][i]),
                     chrom_idx=int(res["chrom"][i]),
                     start=int(res["start"][i]),
@@ -157,15 +190,29 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
                     qual_right=int(res["qual_right"][i]),
                     signal=codes_to_seq(res["signal"][i]),
                 ))
-            for call in batch_calls:
-                agg.add(call)
-            if journal is not None:
-                from find_circ2_tpu.utils.journal import FastBatch
-                journal.record_fast(batch_id, FastBatch(
-                    n_reads=int(sel.size), counts=counts,
-                    calls=batch_calls))
-        if times is not None:
-            times.add_reads(int(sel.size))
+            for i in np.nonzero(route)[0]:
+                name, seq = read_name(i), read_seq(i)
+                # SPEC §2b multi-hit pair exploration: device program
+                # (ops/explore.py) or the vectorized host twin
+                # (models/multihit.py).
+                if explorer is not None:
+                    routed.append((name, seq))
+                    continue
+                from find_circ2_tpu.models.multihit import call_read_multi
+                with timed("slowpath_multihit"):
+                    batch_calls.append(call_read_multi(
+                        slowpath[0], slowpath[1], name, seq, cfg,
+                        prefilter))
+            handle = None
+            if routed:
+                with timed("explore_dispatch"):
+                    handle = explorer.dispatch(routed)
+            finishing.append((batch_id, int(sel.size), counts,
+                              batch_calls, handle))
+        # Keep one explore-pending batch in flight so its program
+        # overlaps the next detect batch.
+        while len(finishing) > 1:
+            finalize()
 
     def process(buf: bytes, spans: np.ndarray) -> None:
         nonlocal next_batch_id
@@ -219,3 +266,5 @@ def run_fastq(dindex: DeviceIndex, path, agg: Aggregator,
         process(buf, spans)
     while inflight:
         consume()
+    while finishing:
+        finalize()

@@ -32,6 +32,16 @@ LARGE_MM = jnp.int32(255)
 LARGE_POS = jnp.uint32(2 ** 32 - 1)
 
 
+def read_anchors(reads: jnp.ndarray, lens: jnp.ndarray, cfg: Config):
+    """Anchor A = first a bases; anchor B = last a bases (per true len)."""
+    a = cfg.anchor_len
+    Lp = reads.shape[1]
+    anchors_a = reads[:, :a]
+    idxb = jnp.clip(lens[:, None] - a, 0, Lp - a) + jnp.arange(a)[None, :]
+    anchors_b = jnp.take_along_axis(reads, idxb, axis=1)
+    return anchors_a, anchors_b
+
+
 class AnchorHits(NamedTuple):
     aligned: jnp.ndarray    # bool [B]
     pos: jnp.ndarray        # uint32 [B] global anchor start of best hit
@@ -128,6 +138,8 @@ def candidate_stats(
     meta: jnp.ndarray,         # int32 [3] = (salt0, salt1, n_buckets)
     anchors: jnp.ndarray,      # uint8 [B, a]
     cfg: Config,
+    ext: jnp.ndarray | None = None,      # uint32 [R, 2*(K-1)] §2b extras
+    ext_id: jnp.ndarray | None = None,   # int32 [T_pad, SLOTS]
 ):
     """Per-variant (count, first_pos) plus static (mm, strand) metadata.
 
@@ -145,6 +157,12 @@ def candidate_stats(
     Two 32-byte bucket-row gathers per canonical variant — each serving
     BOTH strand slots; key comparison is exact, so the hash is never
     probabilistic.
+
+    With `ext`/`ext_id` (SPEC §2b device multi-hit, ops/explore.py), a
+    fifth return value `extras` (uint32 [B, 2V, K-1]) carries each
+    strand-slot's positions 2..K of its variant's hit list (LARGE_POS
+    padded) — two extra small gathers per variant (the slot's ext row id,
+    then its fixed-width positions row), paid only by the explore path.
     """
     from find_circ2_tpu.index.hashtable import (CNT_BITS, CNT_MASK, LANES,
         S8_MASK, SLOTS, mix_hash)
@@ -163,6 +181,8 @@ def candidate_stats(
     up = cp.astype(jnp.uint32)
     us = cs.astype(jnp.uint32)
 
+    want_ext = ext is not None
+
     def probe(salt):
         # Per-probe partial stats, reduced immediately so XLA fuses the
         # unpack into the gather consumer. Slot layout: hashtable.LANES.
@@ -178,15 +198,23 @@ def candidate_stats(
         # the true global position and its unsigned order for the mins.
         pf_lane = g[..., 2].astype(jnp.uint32)
         pr_lane = g[..., 3].astype(jnp.uint32)
+        if want_ext:
+            # ext row id of the matching slot (0 = none): a key lives in
+            # at most one slot, so the masked sum is exact.
+            eg = jnp.take(ext_id, h, axis=0)              # [B, V, SLOTS]
+            rid = jnp.sum(jnp.where(m, eg, 0), axis=-1)
+        else:
+            rid = None
         return (jnp.sum(jnp.where(m, cf, 0), axis=-1),
                 jnp.min(jnp.where(m, pf_lane, LPOS), axis=-1),
                 jnp.sum(jnp.where(m, cr, 0), axis=-1),
-                jnp.min(jnp.where(m, pr_lane, LPOS), axis=-1))
+                jnp.min(jnp.where(m, pr_lane, LPOS), axis=-1),
+                rid)
 
     # A key lives in at most one of its two buckets: sums add a zero,
     # mins a LARGE_POS, so combining partials is exact.
-    cf1, pf1, cr1, pr1 = probe(salt0)
-    cf2, pf2, cr2, pr2 = probe(salt1)
+    cf1, pf1, cr1, pr1, rid1 = probe(salt0)
+    cf2, pf2, cr2, pr2, rid2 = probe(salt1)
     cnt_f = cf1 + cf2
     pos_f = jnp.minimum(pf1, pf2)
     cnt_r = cr1 + cr2
@@ -204,7 +232,17 @@ def candidate_stats(
     # NOTE: first_pos is LARGE_POS where count == 0 — safe for both the
     # single-shard argmin and the sharded pmin.
     mm_v, strand_v = variant_metadata(cfg)
-    return count, first_pos, mm_v, strand_v
+    if not want_ext:
+        return count, first_pos, mm_v, strand_v
+    K1 = cfg.max_pair_hits - 1
+    rows = jnp.take(ext, rid1 + rid2, axis=0)       # [B, V, 2*(K-1)]
+    extras_f, extras_r = rows[..., :K1], rows[..., K1:]
+    # '+' slots take the variant's own orientation, '-' slots its rc —
+    # the same swap as count/first_pos above.
+    sw = swap[..., None]
+    extras = jnp.concatenate([jnp.where(sw, extras_r, extras_f),
+                              jnp.where(sw, extras_f, extras_r)], axis=1)
+    return count, first_pos, mm_v, strand_v, extras
 
 
 def _fold_min(x: jnp.ndarray) -> jnp.ndarray:

@@ -79,7 +79,7 @@ def test_canonical_keys_aggregation():
     g = _genome(0)
     idx = build_index(g, CFG)
     p12, s8, cnt, fpos = distinct_kmers(idx)
-    cp, cs, cf, pf, cr, pr = canonical_keys(idx)
+    cp, cs, cf, pf, cr, pr = canonical_keys(idx)[:6]
     assert int(cf.sum()) + int(cr.sum()) == 2 * idx.positions.size or True
     # Forward+rc counts cover every indexed position exactly once...
     # except palindromes, which appear on both sides. Verify per-key.
@@ -103,7 +103,7 @@ def test_query_table_exact_equivalence():
     g = _genome(2)
     idx = build_index(g, CFG)
     qt = build_query_table(idx, CFG)
-    cp, cs, cf, pf, cr, pr = canonical_keys(idx)
+    cp, cs, cf, pf, cr, pr = canonical_keys(idx)[:6]
     rng = np.random.default_rng(3)
     for i in rng.integers(0, cp.size, 300):
         got = _host_lookup(qt, int(cp[i]), int(cs[i]))
@@ -146,7 +146,7 @@ def test_shard_query_table_partition(n_shards):
     idx = build_index(g, CFG)
     tables, metas = shard_query_table(idx, n_shards, CFG)
     assert tables.shape[0] == n_shards and metas.shape == (n_shards, 3)
-    cp, cs, cf, pf, cr, pr = canonical_keys(idx)
+    cp, cs, cf, pf, cr, pr = canonical_keys(idx)[:6]
     nb = idx.n_buckets
     S = -(-nb // n_shards)
     # Union of shard contents == canonical keys, each on its range shard.

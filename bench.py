@@ -243,6 +243,89 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
     return result
 
 
+def attribute_misses(missed_keys, truth_by_key, rows_by_key, sim, index,
+                     cfg, sample_cap: int = 150):
+    """Why did each missed truth junction fail? (VERDICT r2 weak #8.)
+
+    Junctions that aggregated but failed the frozen filter stack are
+    classified by the first failing criterion; junctions absent from the
+    table entirely are re-called through the CPU oracle read by read and
+    classified by the dominant status — with unaligned anchors further
+    split into 'MAX_BUCKET-guarded' (the exact anchor 20-mer is more
+    frequent than the repetitive guard) vs 'no <=1-mm hit' (diverged
+    repeat copy / anchor N). Returns a {reason: count} dict over at most
+    `sample_cap` missed junctions (scaled-up counts are NOT extrapolated;
+    the sample size rides along under 'sampled')."""
+    from collections import Counter
+    from find_circ2_tpu.config import (ST_JUNCTION, ST_PREFILTERED,
+                                       ST_UNALIGNED_A, ST_UNALIGNED_B,
+                                       STATUS_NAMES)
+    from find_circ2_tpu.index.build import kmer_values
+    from find_circ2_tpu.io.twobit import revcomp_seq, seq_to_codes
+    from find_circ2_tpu.models.oracle import call_read
+
+    seq_by_name = dict(sim.reads)
+    br = Counter()
+    keys = sorted(missed_keys)[:sample_cap]
+    br["sampled"] = len(keys)
+
+    def exact_count(anchor_seq: str) -> int:
+        best = 0
+        for s in (anchor_seq, revcomp_seq(anchor_seq)):
+            codes = seq_to_codes(s)
+            if (codes >= 4).any():
+                continue
+            kk, ok = kmer_values(codes, cfg.prefix_len)
+            ss, ok2 = kmer_values(codes[cfg.prefix_len:],
+                                  cfg.anchor_len - cfg.prefix_len)
+            if ok[0] and ok2[0]:
+                best = max(best,
+                           index.lookup(int(kk[0]), int(ss[0])).size)
+        return best
+
+    for key in keys:
+        row = rows_by_key.get(key)
+        if row is not None:
+            flags = set(row.category.split(","))
+            if "ANCHOR_UNIQUE" not in flags:
+                br["filtered_no_unique_anchor"] += 1
+            elif "UNAMBIGUOUS_BP" not in flags:
+                br["filtered_ambiguous_bp"] += 1
+            elif "CIRCULAR" not in flags:
+                br["filtered_not_circular"] += 1
+            elif row.n_reads < cfg.min_support:
+                br["filtered_support"] += 1
+            elif row.edits > cfg.filter_max_edits:
+                br["filtered_edits"] += 1
+            else:
+                br["filtered_span"] += 1
+            continue
+        tj = truth_by_key[key]
+        statuses = Counter()
+        for rname in tj.reads:
+            call = call_read(sim.genome, index, rname, seq_by_name[rname],
+                             cfg)
+            st = call.status
+            if st == ST_JUNCTION:
+                statuses["relocated_junction"] += 1
+            elif st in (ST_UNALIGNED_A, ST_UNALIGNED_B):
+                a = cfg.anchor_len
+                anchor = (seq_by_name[rname][:a]
+                          if st == ST_UNALIGNED_A
+                          else seq_by_name[rname][-a:])
+                if exact_count(anchor) > cfg.max_bucket:
+                    statuses["anchor_maxbucket_guarded"] += 1
+                else:
+                    statuses["anchor_no_1mm_hit"] += 1
+            elif st == ST_PREFILTERED:
+                statuses["prefiltered"] += 1
+            else:
+                statuses[STATUS_NAMES[st]] += 1
+        why, _ = statuses.most_common(1)[0]
+        br[f"reads_{why}"] += 1
+    return dict(br)
+
+
 def bench_filter_stack(args, cfg, jax):
     """BASELINE configs[2]: the FULL pipeline (streaming loop + multi-hit
     slow path + aggregation + frozen filter stack) on a simulated
@@ -327,6 +410,23 @@ def bench_filter_stack(args, cfg, jax):
     tp = len(truth & called)
     prec = tp / max(1, len(called))
     rec = tp / max(1, len(truth))
+    truth_by_key = {(t.chrom, t.start, t.end): t for t in sim.truths
+                    if t.kind == "circular"}
+    rows_by_key = {(r.chrom, r.start, r.end): r for r in rows}
+    # Detection recall (pre-filter table) vs filtered recall: the r2
+    # miss attribution showed the gap is NOT anchor sensitivity — it is
+    # junctions inside repeats whose every read has a multi-mapping
+    # anchor (qual 0), which the frozen ANCHOR_UNIQUE filter excludes
+    # exactly as the reference's MAPQ filter would (SPEC §2 MAPQ
+    # surrogate), plus reads relocated to equivalent repeat copies.
+    rec_detect = len({k for k in truth if k in rows_by_key}) \
+        / max(1, len(truth))
+    breakdown = attribute_misses(truth - called, truth_by_key,
+                                 rows_by_key, sim, index, cfg)
+    print(f"bench[filter-stack]: detection recall {rec_detect:.3f} "
+          f"(junction in the pre-filter table) | miss breakdown "
+          f"({len(truth - called)} missed truths) — {breakdown}",
+          file=sys.stderr)
     n_slow = times.counts.get("slowpath_multihit", 0)
     t_slow = times.totals.get("slowpath_multihit", 0.0)
     t_exp = (times.totals.get("explore_dispatch", 0.0)
@@ -339,7 +439,8 @@ def bench_filter_stack(args, cfg, jax):
           f"well-supported planted circles", file=sys.stderr)
     print("bench[filter-stack]: stages — " + times.report(),
           file=sys.stderr)
-    return dict(rps=n_reads / dt, precision=prec, recall=rec)
+    return dict(rps=n_reads / dt, precision=prec, recall=rec,
+                recall_detect=rec_detect, breakdown=breakdown)
 
 
 def main(argv=None) -> int:
@@ -362,10 +463,15 @@ def main(argv=None) -> int:
                     "circles, ~24k reads each; default 4 => ~96k reads "
                     "so fixed overheads amortize)")
     ap.add_argument("--filter-stack", action="store_true",
-                    help="run the BASELINE configs[2] full-filter-stack "
-                    "bench (RNase-R-like library) instead of the "
-                    "throughput sweep; JSON metric becomes end-to-end "
-                    "reads/s with vs_baseline = filtered-call F1")
+                    help="run ONLY the BASELINE configs[2] "
+                    "full-filter-stack bench (RNase-R-like library); "
+                    "JSON metric becomes end-to-end reads/s with "
+                    "vs_baseline = filtered-call F1")
+    ap.add_argument("--kernel-only", action="store_true",
+                    help="skip the end-to-end pipeline figure (the "
+                    "default run reports BOTH the detect-kernel headline "
+                    "and the configs[2] full-pipeline throughput — "
+                    "VERDICT r2 weak #1)")
     ap.add_argument("--sharded", action="store_true",
                     help="also run the (data, index)-sharded engine over "
                     "all attached devices and report scaling efficiency "
@@ -387,6 +493,10 @@ def main(argv=None) -> int:
             "value": round(r["rps"], 1),
             "unit": "reads/s",
             "vs_baseline": round(f1, 4),
+            "precision": round(r["precision"], 4),
+            "recall": round(r["recall"], 4),
+            "detection_recall": round(r["recall_detect"], 4),
+            "miss_breakdown": r["breakdown"],
         }))
         return 0
     sizes = ([float(s) for s in args.sizes.split(",")] if args.sizes
@@ -401,12 +511,29 @@ def main(argv=None) -> int:
         gc.collect()
 
     head = results[0]
-    print(json.dumps({
+    out = {
         "metric": "reads_per_s_per_chip",
         "value": round(head["rps"], 1),
         "unit": "reads/s",
         "vs_baseline": round(head["rps"] / head["oracle_rps"], 2),
-    }))
+        "roofline_txn_pct": round(100 * head["rps"]
+                                  / head["roofline_txn"], 2),
+    }
+    if not args.kernel_only:
+        # The honest second figure (VERDICT r2 weak #1): the FULL
+        # pipeline — streaming + §2b multi-hit + aggregation + frozen
+        # filters — on the repeat-realistic configs[2] library.
+        gc.collect()
+        fs = bench_filter_stack(args, cfg, jax)
+        out["pipeline_reads_per_s"] = round(fs["rps"], 1)
+        out["pipeline_precision"] = round(fs["precision"], 4)
+        out["pipeline_recall"] = round(fs["recall"], 4)
+        out["pipeline_detection_recall"] = round(fs["recall_detect"], 4)
+        out["pipeline_miss_breakdown"] = fs["breakdown"]
+    if len(results) > 1:
+        out["sizes_mb"] = [r["genome_mb"] for r in results]
+        out["sizes_reads_per_s"] = [round(r["rps"], 1) for r in results]
+    print(json.dumps(out))
     return 0
 
 

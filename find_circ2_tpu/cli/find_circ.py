@@ -122,6 +122,20 @@ def build_parser() -> argparse.ArgumentParser:
                    "reads, k-mer-range-sharded index); output is "
                    "byte-identical to the single-chip path "
                    "(BASELINE configs[3])")
+    p.add_argument("--nproc", type=int, default=None,
+                   help="multi-host run: total number of processes "
+                   "(SURVEY.md §7 step 6). Each process streams every "
+                   "--nproc'th read, detects on its own local devices, "
+                   "and process 0 merges the junction tables; stats are "
+                   "psum'd across processes (parallel.distributed"
+                   ".allreduce_counts). Requires --proc-id and a real "
+                   "-o path; output is byte-identical to a "
+                   "single-process run")
+    p.add_argument("--proc-id", type=int, default=None,
+                   help="this process's rank in [0, --nproc)")
+    p.add_argument("--coordinator", default="localhost:9377",
+                   help="jax.distributed coordinator address "
+                   "(host:port); process 0 hosts it")
     p.add_argument("--journal", default=None,
                    help="JSONL resume journal: completed batches replay "
                    "from disk on rerun")
@@ -133,6 +147,25 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run(args) -> int:
+    nproc = args.nproc or 1
+    if nproc > 1:
+        # Multi-host plumbing (SURVEY.md §7 step 6, BASELINE.json:11):
+        # jax.distributed first, before any backend touch. Detection is
+        # per-process on local devices (the DP axis crosses hosts; index
+        # collectives never do — SURVEY §2.4), so processes never run in
+        # lockstep; only the final stats psum and the file-based
+        # junction merge synchronize.
+        if args.proc_id is None or not 0 <= args.proc_id < nproc:
+            raise SystemExit("--nproc requires --proc-id in [0, nproc)")
+        if args.output == "-":
+            raise SystemExit("--nproc requires -o FILE "
+                             "(process 0 writes the merged table)")
+        if args.mesh:
+            raise SystemExit("--mesh shards within one process; combine "
+                             "processes with --nproc OR chips with "
+                             "--mesh, not both")
+        from find_circ2_tpu.parallel.distributed import init_distributed
+        init_distributed(args.coordinator, nproc, args.proc_id)
     cfg = Config(anchor_len=args.anchor,
                  prefix_len=min(12, args.anchor - 8),
                  stranded=args.stranded, batch_size=args.batch_size,
@@ -165,6 +198,11 @@ def run(args) -> int:
 
     src = itertools.chain.from_iterable(
         file_stream(fi, f) for fi, f in enumerate(args.input))
+    if nproc > 1:
+        # Round-robin read sharding: deterministic, streaming, no
+        # pre-scan; the junction merge is order-free so any disjoint
+        # split yields the joint result.
+        src = itertools.islice(src, args.proc_id, None, nproc)
     prefilter = not args.no_prefilter
     agg = Aggregator(genome, cfg)
     journal = times = None
@@ -185,17 +223,34 @@ def run(args) -> int:
         mesh = make_mesh(dshape[0] * dshape[1], dshape)
         eng = ShardedEngine(genome, index, mesh, cfg, prefilter)
         bs = -(-cfg.batch_size // eng.n_data) * eng.n_data
-        for call in run_reads(None, src, cfg, prefilter, batch_size=bs,
-                              journal=journal, times=times,
-                              slowpath=(genome, index),
-                              dispatch=eng.dispatch_packed):
-            agg.add(call)
+        from find_circ2_tpu import native
+        if args.reads_format == "fastq" and native.available():
+            # Sharded runs ride the same chunked native encode as the
+            # single-chip fast path (VERDICT r2 weak #7) — only the
+            # device step is swapped for the collective engine.
+            from find_circ2_tpu.models.stream import run_fastq
+            for fi, f in enumerate(args.input):
+                jr = journal
+                if journal is not None and len(args.input) > 1:
+                    from find_circ2_tpu.utils.journal import RunJournal
+                    jr = RunJournal(f"{args.journal}.{fi}")
+                run_fastq(None, f, agg, cfg, prefilter, batch_size=bs,
+                          times=times, slowpath=(genome, index),
+                          journal=jr, revcomp=bool(args.pe and fi % 2),
+                          dispatch=eng.dispatch_packed)
+        else:
+            for call in run_reads(None, src, cfg, prefilter,
+                                  batch_size=bs, journal=journal,
+                                  times=times, slowpath=(genome, index),
+                                  dispatch=eng.dispatch_packed):
+                agg.add(call)
     elif args.backend == "device":
         from find_circ2_tpu import native
         from find_circ2_tpu.models.stream import run_fastq
         dindex = DeviceIndex.build(genome, index, cfg)
         slowpath = (genome, index)
-        if args.reads_format == "fastq" and native.available():
+        if (args.reads_format == "fastq" and native.available()
+                and nproc == 1):  # multi-proc streams its islice of src
             # Fast path: native C FASTQ scanning + batch encoding; gzip
             # and resume journals ride it too (multi-file runs use one
             # journal per input so batch ids stay per-file).
@@ -217,6 +272,28 @@ def run(args) -> int:
             agg.add(call_read(genome, index, name, seq, cfg, prefilter))
     if times is not None:
         print(times.report(), file=sys.stderr)
+    if nproc > 1:
+        import pickle
+        from find_circ2_tpu.config import STATUS_NAMES
+        from find_circ2_tpu.parallel.distributed import (allreduce_counts,
+                                                         stats_to_vec)
+        order = ["reads_total", *STATUS_NAMES.values(),
+                 "circular_reads", "linear_reads"]
+        part = f"{args.output}.part{args.proc_id}"
+        with open(part, "wb") as fh:
+            pickle.dump(agg.junctions, fh)
+        # The psum doubles as the barrier: every process has written its
+        # part file before any process returns from the collective.
+        total = allreduce_counts(stats_to_vec(agg.stats, order))
+        if args.proc_id != 0:
+            return 0
+        for i in range(1, nproc):
+            pi = f"{args.output}.part{i}"
+            with open(pi, "rb") as fh:
+                agg.merge_from(pickle.load(fh))
+            os.remove(pi)
+        os.remove(part)
+        agg.stats.counts = {k: int(v) for k, v in zip(order, total) if v}
     rows = agg.rows(sample_name=args.name, prefix=args.prefix)
     if args.filter:
         from find_circ2_tpu.io.bed import passes_filter

@@ -196,6 +196,27 @@ class Aggregator:
             agg.n_bp = min(agg.n_bp, int(b_min[u]))
             agg.n_strand_match += int(smatch[u])
 
+    def merge_from(self, junctions: dict) -> None:
+        """Fold another process's junction dict into this one — the
+        final cross-host merge of a multi-process run (SURVEY.md §2.4
+        DP row; all accumulators are commutative, so the result equals
+        a joint single-process run bit for bit, including n_uniq:
+        sequence SETS union rather than summing partial counts)."""
+        for key, o in junctions.items():
+            a = self.junctions.get(key)
+            if a is None:
+                self.junctions[key] = o
+                continue
+            a.n_reads += o.n_reads
+            a.seqs |= o.seqs
+            a.uniq_bridges += o.uniq_bridges
+            a.best_qual_left = max(a.best_qual_left, o.best_qual_left)
+            a.best_qual_right = max(a.best_qual_right, o.best_qual_right)
+            a.edits = min(a.edits, o.edits)
+            a.overlap = min(a.overlap, o.overlap)
+            a.n_bp = min(a.n_bp, o.n_bp)
+            a.n_strand_match += o.n_strand_match
+
     def _strandmatch(self, agg: JunctionAgg) -> str:
         if not self.cfg.stranded:
             return "NA"

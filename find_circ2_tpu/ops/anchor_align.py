@@ -25,11 +25,15 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from find_circ2_tpu.config import Config
 
-LARGE_MM = jnp.int32(255)
-LARGE_POS = jnp.uint32(2 ** 32 - 1)
+# numpy scalars, not jnp: module-level jnp constants initialize the
+# XLA backend at import time, which breaks jax.distributed.initialize
+# in multi-process CLI runs (it must run before any backend touch).
+LARGE_MM = np.int32(255)
+LARGE_POS = np.uint32(2 ** 32 - 1)
 
 
 def read_anchors(reads: jnp.ndarray, lens: jnp.ndarray, cfg: Config):

@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from find_circ2_tpu.config import (
     Config,
@@ -32,7 +33,7 @@ from find_circ2_tpu.config import (
 # Genome base codes (SPEC.md §0) used for signal tests.
 _A, _C, _G, _T = 0, 1, 2, 3
 
-BIG = jnp.int32(1 << 20)
+BIG = np.int32(1 << 20)  # np, not jnp: see ops/anchor_align.py
 
 
 @partial(jax.jit, static_argnames=("cfg", "nbases"))

@@ -33,6 +33,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from find_circ2_tpu.config import (
     Config,
@@ -54,7 +55,7 @@ from find_circ2_tpu.ops.anchor_align import (LARGE_POS, candidate_stats,
 from find_circ2_tpu.ops.packed import gather_window
 
 _A, _C, _G, _T = 0, 1, 2, 3
-BIG = jnp.int32(1 << 20)
+BIG = np.int32(1 << 20)  # np, not jnp: see ops/anchor_align.py
 
 
 def merged_candidates(count, first_pos, extras, mm_v, best_mm,

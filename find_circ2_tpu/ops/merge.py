@@ -20,10 +20,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from find_circ2_tpu.config import Config, ST_JUNCTION
 
-BIGDEF = jnp.int32(2 ** 30)
+BIGDEF = np.int32(2 ** 30)  # np, not jnp: see ops/anchor_align.py
 
 KEY_FIELDS = ("kind", "chrom", "start", "end", "sense")
 SUM_FIELDS = ("n_reads", "uniq_bridges", "n_strand_match")

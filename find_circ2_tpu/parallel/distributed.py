@@ -32,6 +32,14 @@ def init_distributed(coordinator_address: str | None = None,
     With no arguments, environment-based auto-detection is used (TPU pod
     runtime). Call once per process before any jax computation.
     """
+    import os
+    # This box's TPU plugin ('axon') overrides the JAX_PLATFORMS env var
+    # (see tests/conftest.py); re-assert it through jax.config so CPU
+    # worker processes actually run on CPU — must happen before the
+    # backend initializes, i.e. here.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     if num_processes is not None and num_processes > 1 or \
             coordinator_address is not None:
         jax.distributed.initialize(

@@ -25,6 +25,11 @@ import os
 import sys
 import time
 
+# Repo import without PYTHONPATH (setting PYTHONPATH breaks the axon
+# TPU plugin's helper processes).
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 def log(msg):
     print(f"[big_genome +{time.time() - T0:7.1f}s] {msg}", file=sys.stderr,

@@ -44,6 +44,10 @@ HBM_BW = {
 # 32 B rows ride one transaction each, so the conservative bound charges
 # one minimum-granule transaction per row.
 HBM_TXN_BYTES = 512
+# Measured gather-unit row issue cost for 8-32 B rows (flat; see
+# scripts/bench_gather_rate.py and docs/DESIGN.md "Pallas K1 verdict") —
+# the ATTAINABLE per-chip bound for this table layout.
+GATHER_NS_ROW = 7.1
 
 
 def make_bench_data(n_reads: int, genome_mb: float, read_len: int, cfg,
@@ -117,7 +121,10 @@ def roofline_reads_per_s(cfg, read_len: int, bw: float):
     io_bytes = cfg.max_read_len + 4 + 14 * 4
     need = row_bytes + win_bytes + io_bytes
     txn = rows * HBM_TXN_BYTES + win_bytes + io_bytes
-    return bw / need, bw / txn
+    # Issue-rate bound: K1 rows + ~4 windows x 4 packed-genome rows,
+    # all at the measured flat ns/row.
+    issue = 1e9 / ((rows + 4 * 4) * GATHER_NS_ROW)
+    return bw / need, bw / txn, issue
 
 
 def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
@@ -155,8 +162,18 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
     def barrier(o):
         np.asarray((o["status"] if isinstance(o, dict) else o)[:1])
 
+    def step(rb, lb):
+        if args.fused:
+            # Single fused program (pipeline.detect_batch) for the
+            # phased-vs-fused comparison (VERDICT r2 weak #2).
+            from find_circ2_tpu.models.pipeline import detect_batch
+            return detect_batch(dindex.gpacked, dindex.nbases,
+                                dindex.table, dindex.meta,
+                                dindex.chrom_offsets, rb, lb, cfg, True)
+        return detect_batch_phased(dindex, rb, lb, cfg, True)
+
     t0 = time.time()
-    out = detect_batch_phased(dindex, reads_d[0], lens_d[0], cfg, True)
+    out = step(reads_d[0], lens_d[0])
     barrier(out)
     print(f"bench[{genome_mb:g}MB]: compile+warmup {time.time() - t0:.1f}s",
           file=sys.stderr)
@@ -168,7 +185,7 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
         t0 = time.time()
         outs = []
         for rb, lb in zip(reads_d, lens_d):
-            outs.append(detect_batch_phased(dindex, rb, lb, cfg, True))
+            outs.append(step(rb, lb))
         barrier(outs[-1])
         dt = time.time() - t0
         print(f"bench[{genome_mb:g}MB]: epoch {epoch}: {n_done} reads in "
@@ -195,17 +212,21 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
 
     dev = jax.devices()[0]
     bw = HBM_BW.get(dev.device_kind, 819e9)
-    rl_bytes, rl_txn = roofline_reads_per_s(cfg, args.read_len, bw)
+    rl_bytes, rl_txn, rl_issue = roofline_reads_per_s(cfg, args.read_len,
+                                                       bw)
     print(f"bench[{genome_mb:g}MB]: best {rps:,.0f} reads/s/chip "
           f"({n_junc} junction reads) | K1 {t_align:.2f}s / core "
           f"{t_core:.2f}s per {n_done} reads | roofline: "
-          f"{100 * rps / rl_txn:.1f}% of txn-bound {rl_txn / 1e6:.2f}M "
-          f"reads/s ({100 * rps / rl_bytes:.2f}% of pure-bytes bound "
-          f"{rl_bytes / 1e6:.1f}M)", file=sys.stderr)
+          f"{100 * rps / rl_issue:.1f}% of the gather-issue bound "
+          f"{rl_issue / 1e6:.2f}M reads/s (attainable; measured "
+          f"{GATHER_NS_ROW} ns/row), {100 * rps / rl_txn:.1f}% of "
+          f"txn-bound {rl_txn / 1e6:.2f}M ({100 * rps / rl_bytes:.2f}% "
+          f"of pure-bytes bound {rl_bytes / 1e6:.1f}M)", file=sys.stderr)
 
     result = dict(genome_mb=genome_mb, rps=rps, n_junc=n_junc,
                   guard_pct=guard_pct, t_align=t_align, t_core=t_core,
-                  roofline_txn=rl_txn, roofline_bytes=rl_bytes)
+                  roofline_txn=rl_txn, roofline_bytes=rl_bytes,
+                  roofline_issue=rl_issue)
 
     if headline and args.sharded and len(jax.devices()) >= 1:
         from find_circ2_tpu.parallel.distributed import make_engine
@@ -467,6 +488,9 @@ def main(argv=None) -> int:
                     "full-filter-stack bench (RNase-R-like library); "
                     "JSON metric becomes end-to-end reads/s with "
                     "vs_baseline = filtered-call F1")
+    ap.add_argument("--fused", action="store_true",
+                    help="time the single fused detect program instead "
+                    "of the phased two-program split")
     ap.add_argument("--kernel-only", action="store_true",
                     help="skip the end-to-end pipeline figure (the "
                     "default run reports BOTH the detect-kernel headline "
@@ -518,6 +542,8 @@ def main(argv=None) -> int:
         "vs_baseline": round(head["rps"] / head["oracle_rps"], 2),
         "roofline_txn_pct": round(100 * head["rps"]
                                   / head["roofline_txn"], 2),
+        "gather_issue_bound_pct": round(100 * head["rps"]
+                                        / head["roofline_issue"], 1),
     }
     if not args.kernel_only:
         # The honest second figure (VERDICT r2 weak #1): the FULL

@@ -280,6 +280,7 @@ def run(args) -> int:
         order = ["reads_total", *STATUS_NAMES.values(),
                  "circular_reads", "linear_reads"]
         part = f"{args.output}.part{args.proc_id}"
+        agg._drain_batches()     # buffered summaries -> junction dict
         with open(part, "wb") as fh:
             pickle.dump(agg.junctions, fh)
         # The psum doubles as the barrier: every process has written its

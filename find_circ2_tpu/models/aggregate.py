@@ -85,6 +85,47 @@ class Stats:
         return [f"{k}\t{self.counts[k]}" for k in seen + extra]
 
 
+# --- n_uniq sequence identity -----------------------------------------
+# `n_uniq` counts DISTINCT processed read sequences per junction. Both
+# aggregation paths identify a sequence by the same deterministic 64-bit
+# hash of its RPAD-padded code vector (dot product with fixed odd
+# weights mod 2^64) instead of the string itself: the vectorized batch
+# path then hashes a whole encoded batch in one numpy op. Identical
+# values on the per-read and batch paths by construction; a collision
+# (~n^2 / 2^64) would undercount n_uniq by 1.
+_SEQ_W: dict[int, "np.ndarray"] = {}
+
+
+def _seq_weights(Lp: int):
+    import numpy as np
+    w = _SEQ_W.get(Lp)
+    if w is None:
+        rng = np.random.default_rng(0xF1FC2)
+        w = rng.integers(1, 2 ** 63, Lp, dtype=np.uint64) | np.uint64(1)
+        _SEQ_W[Lp] = w
+    return w
+
+
+def seq_hash(seq: str, Lp: int) -> int:
+    """Hash of one processed read sequence (scalar path)."""
+    import numpy as np
+    from find_circ2_tpu.config import RPAD_CODE
+    from find_circ2_tpu.io.twobit import seq_to_codes
+    codes = np.full(Lp, RPAD_CODE, np.uint8)
+    c = seq_to_codes(seq)
+    codes[:c.size] = c
+    return int((codes.astype(np.uint64) * _seq_weights(Lp))
+               .sum(dtype=np.uint64))
+
+
+def seq_hash_batch(arr: "np.ndarray"):
+    """Hashes of an RPAD-padded encoded batch (uint8 [n, Lp])."""
+    import numpy as np
+    w = _seq_weights(arr.shape[1])
+    return (arr.astype(np.uint64) * w[None, :]).sum(axis=1,
+                                                    dtype=np.uint64)
+
+
 class Aggregator:
     """Accumulates ReadCalls into the junction dictionary."""
 
@@ -93,6 +134,11 @@ class Aggregator:
         self.cfg = cfg
         self.junctions: dict[tuple, JunctionAgg] = {}
         self.stats = Stats()
+        # Buffered vectorized batch summaries (add_batch); merged into
+        # `junctions` lazily by _drain_batches — one python-loop pass
+        # over globally-distinct junctions instead of one per batch.
+        self._batches: list = []
+        self._batch_pairs: list = []
 
     def add(self, call: ReadCall) -> None:
         self.stats.add("reads_total")
@@ -109,7 +155,7 @@ class Aggregator:
                               sense=call.sense, signal=call.signal)
             self.junctions[key] = agg
         agg.n_reads += 1
-        agg.seqs.add(call.seq)
+        agg.seqs.add(seq_hash(call.seq, self.cfg.max_read_len))
         uniq = self.cfg.min_uniq_qual
         if call.qual_left >= uniq and call.qual_right >= uniq:
             agg.uniq_bridges += 1
@@ -121,17 +167,19 @@ class Aggregator:
         if call.align_strand == call.sense:
             agg.n_strand_match += 1
 
-    def add_batch(self, res: dict, idx, seqs) -> None:
+    def add_batch(self, res: dict, idx, seq_hashes) -> None:
         """Vectorized twin of `add` for unpacked device result rows.
 
         `res` is pipeline.unpack_results output, `idx` the row indices
-        to aggregate (all must have status == ST_JUNCTION), `seqs` the
-        processed read sequence per row (aligned with `idx`; the only
-        per-read Python object this path touches). Junction keys are
-        grouped with np.unique and every accumulator updates once per
-        distinct junction instead of once per read — bit-identical to
-        looping `add` (all accumulators are commutative ints/sets;
-        tests/test_native.py pins BED equality)."""
+        to aggregate (all must have status == ST_JUNCTION), `seq_hashes`
+        the `seq_hash_batch` values aligned with `idx`. Pure numpy —
+        per-batch summaries are buffered and merged into the junction
+        dict by `_drain_batches` in ONE pass over globally-distinct
+        junctions (instead of a python loop per batch x distinct).
+        Bit-identical to looping `add` (all accumulators are commutative
+        ints/sets, and `signal` is a pure function of the junction key,
+        so merge order is immaterial; tests/test_native.py pins BED
+        equality)."""
         import numpy as np
 
         n = len(idx)
@@ -172,29 +220,83 @@ class Aggregator:
         np.minimum.at(e_min, inv, res["edits"][idx])
         np.minimum.at(o_min, inv, res["overlap"][idx])
         np.minimum.at(b_min, inv, res["n_bp"][idx])
-        order = np.argsort(inv, kind="stable")
-        bounds = np.searchsorted(inv[order], np.arange(U + 1))
+        first = np.zeros(U, np.int64)
+        rev = np.arange(len(inv) - 1, -1, -1)
+        first[inv[rev]] = np.asarray(idx)[rev]      # first read per group
+        self._batches.append(dict(
+            uk=uk, nb=nb, bridges=bridges, smatch=smatch, ql=ql_max,
+            qr=qr_max, e=e_min, o=o_min, b=b_min,
+            signal=res["signal"][first]))
+        self._batch_pairs.append(
+            np.stack([inv.astype(np.uint64),
+                      np.asarray(seq_hashes, np.uint64)], axis=1))
+
+    def _drain_batches(self) -> None:
+        """Merge buffered add_batch summaries into the junction dict."""
+        import numpy as np
         from find_circ2_tpu.io.twobit import codes_to_seq
-        for u in range(U):
-            key = (int(uk[u, 0]), int(uk[u, 1]), int(uk[u, 2]),
-                   int(uk[u, 3]), int(uk[u, 4]))
+        if not self._batches:
+            return
+        offs = np.cumsum([0] + [b["uk"].shape[0] for b in self._batches])
+        allk = np.concatenate([b["uk"] for b in self._batches])
+        guk, ginv = np.unique(allk, axis=0, return_inverse=True)
+        G = guk.shape[0]
+
+        def seg_sum(field):
+            v = np.concatenate([b[field] for b in self._batches])
+            out = np.zeros(G, np.int64)
+            np.add.at(out, ginv, v)
+            return out
+
+        def seg_opt(field, op, init):
+            v = np.concatenate([b[field] for b in self._batches])
+            out = np.full(G, init, np.int64)
+            op.at(out, ginv, v)
+            return out
+
+        nb = seg_sum("nb")
+        bridges = seg_sum("bridges")
+        smatch = seg_sum("smatch")
+        ql = seg_opt("ql", np.maximum, 0)
+        qr = seg_opt("qr", np.maximum, 0)
+        e = seg_opt("e", np.minimum, 1 << 30)
+        o = seg_opt("o", np.minimum, 1 << 30)
+        bmin = seg_opt("b", np.minimum, 1 << 30)
+        sig = np.concatenate([b["signal"] for b in self._batches])
+        sig_first = np.zeros(G, np.int64)
+        rev = np.arange(ginv.size - 1, -1, -1)
+        sig_first[ginv[rev]] = rev
+
+        # Distinct (junction, seq_hash) pairs across all batches.
+        pairs = np.concatenate([
+            np.stack([ginv[offs[i] + p[:, 0].astype(np.int64)],
+                      p[:, 1].astype(np.int64)], axis=1)
+            for i, p in enumerate(self._batch_pairs)])
+        pairs = np.unique(pairs, axis=0)
+        pj = pairs[:, 0]
+        pb = np.searchsorted(pj, np.arange(G + 1))
+
+        self._batches = []
+        self._batch_pairs = []
+        for g in range(G):
+            key = tuple(int(x) for x in guk[g])
             agg = self.junctions.get(key)
             if agg is None:
-                first = int(idx[order[bounds[u]]])
                 agg = JunctionAgg(
                     kind=key[0], chrom_idx=key[1], start=key[2],
                     end=key[3], sense=key[4],
-                    signal=codes_to_seq(res["signal"][first]))
+                    signal=codes_to_seq(sig[sig_first[g]]))
                 self.junctions[key] = agg
-            agg.n_reads += int(nb[u])
-            agg.seqs.update(seqs[j] for j in order[bounds[u]:bounds[u + 1]])
-            agg.uniq_bridges += int(bridges[u])
-            agg.best_qual_left = max(agg.best_qual_left, int(ql_max[u]))
-            agg.best_qual_right = max(agg.best_qual_right, int(qr_max[u]))
-            agg.edits = min(agg.edits, int(e_min[u]))
-            agg.overlap = min(agg.overlap, int(o_min[u]))
-            agg.n_bp = min(agg.n_bp, int(b_min[u]))
-            agg.n_strand_match += int(smatch[u])
+            agg.n_reads += int(nb[g])
+            agg.seqs.update(pairs[pb[g]:pb[g + 1], 1]
+                            .astype(np.uint64).tolist())
+            agg.uniq_bridges += int(bridges[g])
+            agg.best_qual_left = max(agg.best_qual_left, int(ql[g]))
+            agg.best_qual_right = max(agg.best_qual_right, int(qr[g]))
+            agg.edits = min(agg.edits, int(e[g]))
+            agg.overlap = min(agg.overlap, int(o[g]))
+            agg.n_bp = min(agg.n_bp, int(bmin[g]))
+            agg.n_strand_match += int(smatch[g])
 
     def merge_from(self, junctions: dict) -> None:
         """Fold another process's junction dict into this one — the
@@ -202,6 +304,7 @@ class Aggregator:
         DP row; all accumulators are commutative, so the result equals
         a joint single-process run bit for bit, including n_uniq:
         sequence SETS union rather than summing partial counts)."""
+        self._drain_batches()
         for key, o in junctions.items():
             a = self.junctions.get(key)
             if a is None:
@@ -231,6 +334,7 @@ class Aggregator:
                               agg.uniq_bridges, agg.signal, strandmatch)
 
     def rows(self, sample_name: str = "sample", prefix: str = "") -> list[JunctionRow]:
+        self._drain_batches()
         out = []
         for agg in self.junctions.values():
             chrom = self.genome.chrom_names[agg.chrom_idx]

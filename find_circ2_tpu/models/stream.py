@@ -21,7 +21,7 @@ from find_circ2_tpu.config import (RPAD_CODE, Config, ST_JUNCTION,
                                    ST_PREFILTERED, ST_TOO_LONG,
                                    ST_TOO_SHORT)
 from find_circ2_tpu.io.twobit import _CODE_LUT, codes_to_seq
-from find_circ2_tpu.models.aggregate import Aggregator
+from find_circ2_tpu.models.aggregate import Aggregator, seq_hash_batch
 from find_circ2_tpu.models.oracle import ReadCall
 from find_circ2_tpu.models.pipeline import (DeviceIndex,
     detect_batch_packed, unpack_results)
@@ -139,7 +139,7 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
             agg.add(call)
 
     def consume() -> None:
-        batch_id, buf, spans, sel, packed = inflight.popleft()
+        batch_id, buf, spans, sel, packed, hashes = inflight.popleft()
         with timed("device_detect"):
             res = unpack_results(np.asarray(packed))
         with timed("aggregate"):
@@ -177,7 +177,7 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
                 # distinct junction, no per-read ReadCall objects —
                 # journal runs keep the per-read path below so replay
                 # records stay complete.
-                agg.add_batch(res, jidx, [read_seq(i) for i in jidx])
+                agg.add_batch(res, jidx, hashes[jidx])
                 jidx = jidx[:0]
             for i in jidx:
                 batch_calls.append(ReadCall(
@@ -268,7 +268,8 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
                     packed.copy_to_host_async()
                 except AttributeError:
                     pass
-            inflight.append((batch_id, buf, spans, sel, packed))
+            inflight.append((batch_id, buf, spans, sel, packed,
+                             seq_hash_batch(arr)))
             if len(inflight) > pipeline_depth:
                 consume()
 

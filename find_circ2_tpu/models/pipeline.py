@@ -37,7 +37,8 @@ from find_circ2_tpu.index.build import SeedIndex, build_index
 from find_circ2_tpu.io.genome import Genome
 from find_circ2_tpu.io.twobit import codes_to_seq, seq_to_codes
 from find_circ2_tpu.models.oracle import ReadCall
-from find_circ2_tpu.ops.anchor_align import align_anchors, read_anchors
+from find_circ2_tpu.ops.anchor_align import (align_anchor_pair,
+    align_anchors, read_anchors)
 from find_circ2_tpu.ops.breakpoint import breakpoint_search
 from find_circ2_tpu.ops.packed import gather_window, pack_nibbles
 
@@ -111,8 +112,8 @@ def detect_batch(
     alignment (hash-table lookups), best-hit finalize, pairing +
     prefilter + K2 breakpoint search."""
     anchors_a, anchors_b = read_anchors(reads, lens, cfg)
-    hits_a = align_anchors(table, meta, anchors_a, cfg)
-    hits_b = align_anchors(table, meta, anchors_b, cfg)
+    hits_a, hits_b = align_anchor_pair(table, meta, anchors_a, anchors_b,
+                                       cfg)
     return detect_core(gpacked, nbases, chrom_offsets, reads, lens,
                        hits_a, hits_b, cfg, prefilter)
 
@@ -120,8 +121,7 @@ def detect_batch(
 @partial(jax.jit, static_argnames=("cfg",))
 def _align_phase(table, meta, reads, lens, cfg):
     anchors_a, anchors_b = read_anchors(reads, lens, cfg)
-    return (align_anchors(table, meta, anchors_a, cfg),
-            align_anchors(table, meta, anchors_b, cfg))
+    return align_anchor_pair(table, meta, anchors_a, anchors_b, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "prefilter", "nbases"))
@@ -159,8 +159,8 @@ def detect_batch_packed(gpacked, nbases, table, meta, chrom_offsets,
     columns. The 4 signal codes (each < 8) pack into one column as
     s0 | s1<<3 | s2<<6 | s3<<9; unpack with `unpack_results`."""
     anchors_a, anchors_b = read_anchors(reads, lens, cfg)
-    hits_a = align_anchors(table, meta, anchors_a, cfg)
-    hits_b = align_anchors(table, meta, anchors_b, cfg)
+    hits_a, hits_b = align_anchor_pair(table, meta, anchors_a, anchors_b,
+                                       cfg)
     res = detect_core(gpacked, nbases, chrom_offsets, reads, lens,
                       hits_a, hits_b, cfg, prefilter)
     sig = res["signal"].astype(jnp.int32)

@@ -347,3 +347,19 @@ def align_anchors(table, meta, anchors, cfg: Config,
     """
     stats = candidate_stats(table, meta, anchors, cfg)
     return finalize_hits(*stats, cfg, axis_name=axis_name)
+
+
+def align_anchor_pair(table, meta, anchors_a, anchors_b, cfg: Config,
+                      axis_name: str | None = None
+                      ) -> tuple[AnchorHits, AnchorHits]:
+    """Both anchors of a batch in ONE stacked [2B] program.
+
+    Row-wise identical to two `align_anchors` calls (every op is
+    per-row); stacking halves the number of gather/reduce op instances
+    XLA emits per detect step, which measurably cuts per-batch fixed
+    overhead on the issue-rate-bound K1 phase."""
+    B = anchors_a.shape[0]
+    both = jnp.concatenate([anchors_a, anchors_b], axis=0)
+    hits = align_anchors(table, meta, both, cfg, axis_name=axis_name)
+    return (AnchorHits(*(x[:B] for x in hits)),
+            AnchorHits(*(x[B:] for x in hits)))

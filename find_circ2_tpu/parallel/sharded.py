@@ -35,7 +35,7 @@ from find_circ2_tpu.index.hashtable import shard_query_table
 from find_circ2_tpu.io.genome import Genome
 from find_circ2_tpu.models.pipeline import (PACK_FIELDS, detect_core,
                                             read_anchors)
-from find_circ2_tpu.ops.anchor_align import align_anchors
+from find_circ2_tpu.ops.anchor_align import align_anchor_pair
 from find_circ2_tpu.ops.merge import merge_junctions, merge_tables
 from find_circ2_tpu.ops.packed import pack_nibbles
 
@@ -51,10 +51,8 @@ def _detect(gpacked, tables, metas, chrom_offsets, reads, lens, cfg,
     table_l = tables[0]
     meta_l = metas[0]
     anchors_a, anchors_b = read_anchors(reads, lens, cfg)
-    hits_a = align_anchors(table_l, meta_l, anchors_a, cfg,
-                           axis_name="index")
-    hits_b = align_anchors(table_l, meta_l, anchors_b, cfg,
-                           axis_name="index")
+    hits_a, hits_b = align_anchor_pair(table_l, meta_l, anchors_a,
+                                       anchors_b, cfg, axis_name="index")
     return detect_core(gpacked, nbases, chrom_offsets, reads, lens,
                        hits_a, hits_b, cfg, prefilter)
 

@@ -420,10 +420,11 @@ def bench_filter_stack(args, cfg, jax):
         for call in run_reads(dindex, sim.reads, cfg, prefilter=True,
                               slowpath=(sim.genome, index), times=times):
             agg.add(call)
-    rows = agg.rows(sample_name="rnaser")
-    filt = [r for r in rows if passes_filter(r, cfg.max_span,
-                                             cfg.min_support,
-                                             cfg.filter_max_edits)]
+    with times.stage("rows_filters"):
+        rows = agg.rows(sample_name="rnaser")
+        filt = [r for r in rows if passes_filter(r, cfg.max_span,
+                                                 cfg.min_support,
+                                                 cfg.filter_max_edits)]
     dt = time.time() - t0
     truth = {(t.chrom, t.start, t.end) for t in sim.truths
              if t.kind == "circular" and len(t.reads) >= cfg.min_support}
@@ -458,7 +459,7 @@ def bench_filter_stack(args, cfg, jax):
           f"{t_exp:.1f}s) | {len(filt)} junctions pass the frozen stack "
           f"| precision {prec:.3f}, recall {rec:.3f} vs {len(truth)} "
           f"well-supported planted circles", file=sys.stderr)
-    print("bench[filter-stack]: stages — " + times.report(),
+    print("bench[filter-stack]: stages — " + times.report(wall=dt),
           file=sys.stderr)
     return dict(rps=n_reads / dt, precision=prec, recall=rec,
                 recall_detect=rec_detect, breakdown=breakdown)
@@ -500,13 +501,24 @@ def main(argv=None) -> int:
                     help="also run the (data, index)-sharded engine over "
                     "all attached devices and report scaling efficiency "
                     "(BASELINE configs[3]/[4])")
+    ap.add_argument("--max-pair-hits", type=int, default=None,
+                    help="override cfg.max_pair_hits (K): §2b candidate "
+                    "list length / explore grid size")
+    ap.add_argument("--max-bucket", type=int, default=None,
+                    help="override cfg.max_bucket (repetitive-20-mer "
+                    "guard)")
     args = ap.parse_args(argv)
 
     import jax
 
     from find_circ2_tpu.config import Config
 
-    cfg = Config(batch_size=args.batch)
+    over = {}
+    if args.max_pair_hits is not None:
+        over["max_pair_hits"] = args.max_pair_hits
+    if args.max_bucket is not None:
+        over["max_bucket"] = args.max_bucket
+    cfg = Config(batch_size=args.batch, **over)
     dev = jax.devices()[0]
     if args.filter_stack:
         r = bench_filter_stack(args, cfg, jax)

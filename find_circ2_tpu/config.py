@@ -34,6 +34,22 @@ class Config:
     # Use the Pallas K2 kernel (ops/pallas_breakpoint) instead of the
     # jnp formulation. Bit-identical; perf differs by backend/version.
     pallas_k2: bool = False
+    # SPEC §2 2-mm anchor rescue [FROZEN v4]: an anchor with NO hit in
+    # the <=1-mm enumeration ball, whose mate anchor DID align at
+    # <=1 mm, is re-searched at Hamming distance exactly 2 (host slow
+    # path only — the device flags the read ST_UNALIGNED_* and routing
+    # re-calls it; the K1 ball stays max_anchor_mm). Closes most of the
+    # sensitivity gap vs bowtie2's 2-mismatch anchor alignments for
+    # reads with two sequencing errors in one anchor. 1 disables.
+    rescue_anchor_mm: int = 2
+    # SPEC §2b pair-margin bridge rescue [FROZEN v4]: a multi-hit read
+    # whose winning pair beats every explored pair at a DIFFERENT
+    # junction by `margin` edits reports quals >= min(40, 10*margin) —
+    # the full-read placement margin is a strictly stronger uniqueness
+    # signal than the 20-mer anchor MAPQ surrogate, and it is what lets
+    # repeat-region junctions (every anchor multi-mapping) still collect
+    # ANCHOR_UNIQUE bridges. False restores v3 (anchor-only) quals.
+    pair_rescue: bool = True
 
     def __post_init__(self) -> None:
         if not 1 <= self.anchor_len - self.prefix_len <= 8:
@@ -41,6 +57,8 @@ class Config:
                              "(suffix must fit 16 bits, SPEC.md §1)")
         if self.max_anchor_mm > 1:
             raise ValueError("enumeration supports max_anchor_mm <= 1")
+        if self.rescue_anchor_mm not in (1, 2):
+            raise ValueError("rescue_anchor_mm must be 1 (off) or 2")
         if self.max_read_len < 2 * self.anchor_len:
             raise ValueError("max_read_len must be >= 2*anchor_len")
         if self.chrom_gap < self.max_read_len + 2:

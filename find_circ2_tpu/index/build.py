@@ -117,10 +117,10 @@ def build_index(genome: Genome, cfg: Config = Config(),
     pos = np.nonzero(valid)[0]
     p12 = pref[pos]
     s8 = suf[pos].astype(np.uint16)
-    # Sort by (prefix, suffix, position): one stable radix argsort on the
-    # packed 40-bit key (position order within equal keys is preserved
-    # ascending) — measured 1.6x faster than the two-key np.lexsort at
-    # 64M entries.
+    # Sort by (prefix, suffix, position): one single-key stable argsort
+    # on the packed 40-bit key (position order within equal keys is
+    # preserved ascending) — measured 1.6x faster than the two-key
+    # np.lexsort at 64M entries.
     order = np.argsort((p12.astype(np.uint64) << np.uint64(16))
                        | s8.astype(np.uint64), kind="stable")
     positions = pos[order].astype(np.uint32)

@@ -69,6 +69,12 @@ class Stats:
     """Per-run counters (reference's `-s` stats file, SURVEY §2.1)."""
     counts: dict = field(default_factory=dict)
 
+    # Per-READ counters that sum across processes (psum'd by the --nproc
+    # CLI epilogue). Junction counts are excluded: they are derived from
+    # the MERGED table in rows(), not summable per rank.
+    REDUCE_ORDER = ("reads_total", *STATUS_NAMES.values(),
+                    "circular_reads", "linear_reads")
+
     def add_status(self, status: int, n: int = 1) -> None:
         name = STATUS_NAMES[status]
         self.counts[name] = self.counts.get(name, 0) + n
@@ -77,9 +83,8 @@ class Stats:
         self.counts[name] = self.counts.get(name, 0) + n
 
     def lines(self) -> list[str]:
-        order = ["reads_total", *STATUS_NAMES.values(),
-                 "circular_reads", "linear_reads",
-                 "circular_junctions", "linear_junctions"]
+        order = [*self.REDUCE_ORDER, "circular_junctions",
+                 "linear_junctions"]
         seen = [k for k in order if k in self.counts]
         extra = sorted(k for k in self.counts if k not in order)
         return [f"{k}\t{self.counts[k]}" for k in seen + extra]

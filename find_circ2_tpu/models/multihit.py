@@ -42,37 +42,56 @@ from find_circ2_tpu.models.oracle import AnchorHit, ReadCall, _sense_signal
 _G, _T, _A, _C = 2, 3, 0, 1
 
 
-def _variant_keys(q: np.ndarray, pk: int) -> tuple[np.ndarray, np.ndarray]:
-    """(p12, s8) int64 [V] for the exact query + all 1-mismatch variants,
-    in the oracle's enumeration order (position-major, r=1..3)."""
+def _variant_keys(q: np.ndarray, pk: int, ball: int = 1
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(p12, s8, mm) int64 [V] for the exact query + all variants within
+    Hamming distance `ball`, in the oracle's enumeration order
+    (1-mm: position-major, r=1..3; 2-mm: (j1, j2, r1, r2) nested loops
+    exactly as oracle.anchor_candidates)."""
     a = q.size
     V = 1 + 3 * a
     u = np.tile(q.astype(np.int64), (V, 1))
     js = np.repeat(np.arange(a), 3)
     r = np.tile(np.arange(1, 4), a)
     u[1:][np.arange(3 * a), js] = (q[js].astype(np.int64) + r) % 4
+    mm = np.concatenate([[0], np.ones(3 * a, np.int64)])
+    if ball >= 2:
+        j1, j2 = np.triu_indices(a, k=1)
+        P = j1.size                                # a*(a-1)/2 pairs
+        j1 = np.repeat(j1, 9)
+        j2 = np.repeat(j2, 9)
+        r1 = np.tile(np.repeat(np.arange(1, 4), 3), P)
+        r2 = np.tile(np.tile(np.arange(1, 4), 3), P)
+        u2 = np.tile(q.astype(np.int64), (9 * P, 1))
+        rows = np.arange(9 * P)
+        u2[rows, j1] = (q[j1].astype(np.int64) + r1) % 4
+        u2[rows, j2] = (q[j2].astype(np.int64) + r2) % 4
+        u = np.concatenate([u, u2])
+        mm = np.concatenate([mm, np.full(9 * P, 2, np.int64)])
     pw_p = 4 ** np.arange(pk - 1, -1, -1, dtype=np.int64)
     pw_s = 4 ** np.arange(a - pk - 1, -1, -1, dtype=np.int64)
-    return u[:, :pk] @ pw_p, u[:, pk:] @ pw_s
+    return u[:, :pk] @ pw_p, u[:, pk:] @ pw_s, mm
 
 
 def anchor_candidates_fast(genome: Genome, index: SeedIndex,
-                           anchor: np.ndarray, cfg: Config
+                           anchor: np.ndarray, cfg: Config, ball: int = 1
                            ) -> tuple[AnchorHit, list[tuple[int, int]]]:
-    """Drop-in equivalent of oracle.anchor_candidates (SPEC §2/§2b)."""
+    """Drop-in equivalent of oracle.anchor_candidates (SPEC §2/§2b,
+    incl. the [FROZEN v4] ball=2 rescue enumeration)."""
     a, pk = cfg.anchor_len, cfg.prefix_len
     if np.any(anchor >= 4):
         return AnchorHit(aligned=False), []
-    V = 1 + 3 * a
     rc = REVCOMP_LUT[anchor[::-1]]
-    p12s, s8s = [], []
+    p12s, s8s, mms = [], [], []
     for q in (anchor, rc):
-        p12, s8 = _variant_keys(q, pk)
+        p12, s8, mm1 = _variant_keys(q, pk, ball)
         p12s.append(p12)
         s8s.append(s8)
+        mms.append(mm1)
     p12 = np.concatenate(p12s)          # [2V]: '+' variants then '-'
     s8 = np.concatenate(s8s)
-    mm = np.tile(np.concatenate([[0], np.ones(3 * a, np.int64)]), 2)
+    mm = np.concatenate(mms)
+    V = p12s[0].size
     strand = np.repeat(np.arange(2, dtype=np.int64), V)
 
     offs = index.offsets          # uint32 [4^pk + 1]; never copy (16M+)
@@ -110,7 +129,7 @@ def anchor_candidates_fast(genome: Genome, index: SeedIndex,
         others[b] = False
         second_mm = int(mm[others].min()) if others.any() else a + 1
     qual = 0 if n_best > 1 else min(40, 10 * (second_mm - best_mm))
-    hit = AnchorHit(aligned=best_mm <= cfg.max_anchor_mm,
+    hit = AnchorHit(aligned=best_mm <= max(cfg.max_anchor_mm, ball),
                     pos=int(first[b]), strand=int(strand[b]), mm=best_mm,
                     n_best=n_best, second_mm=second_mm, qual=qual)
     at_best = np.flatnonzero(valid & (mm == best_mm))
@@ -234,7 +253,21 @@ def _explore_pairs(genome: Genome, codes, codes_rc, candsA, candsB,
                            int(best_k[i])))))
     if not wins:
         return None
-    return min(wins, key=lambda w: w[0])[1]
+    win = min(wins, key=lambda w: w[0])[1]
+    if cfg.pair_rescue and (hitA.n_best > 1 or hitB.n_best > 1):
+        # Pair-margin bridge rescue [FROZEN v4], exactly as
+        # oracle.call_read: margin vs the best explored pair at a
+        # different (kind, start, end).
+        kind, start, end, w_edits = win[5][0], win[5][1], win[5][2], \
+            win[5][3]
+        alts = [w[5][3] for _, w in wins
+                if (w[5][0], w[5][1], w[5][2]) != (kind, start, end)]
+        margin = (min(alts) - w_edits) if alts else (a + 1)
+        if margin > 0:
+            rq = min(40, 10 * margin)
+            win = (win[0], win[1], win[2], max(win[3], rq),
+                   max(win[4], rq), win[5])
+    return win
 
 
 def call_read_multi(genome: Genome, index: SeedIndex, name: str,
@@ -251,6 +284,16 @@ def call_read_multi(genome: Genome, index: SeedIndex, name: str,
     codes_rc = REVCOMP_LUT[codes[::-1]]
     hitA, candsA = anchor_candidates_fast(genome, index, codes[:a], cfg)
     hitB, candsB = anchor_candidates_fast(genome, index, codes[-a:], cfg)
+    # §2 2-mm anchor rescue [FROZEN v4], gated exactly as
+    # oracle.call_read (mate must align at <=1 mm).
+    if cfg.rescue_anchor_mm >= 2:
+        if not hitA.aligned and hitB.aligned:
+            hitA, candsA = anchor_candidates_fast(genome, index,
+                                                  codes[:a], cfg, ball=2)
+        elif not hitB.aligned and hitA.aligned:
+            hitB, candsB = anchor_candidates_fast(genome, index,
+                                                  codes[-a:], cfg,
+                                                  ball=2)
     if prefilter and _prefiltered(genome, codes, codes_rc, candsA,
                                   candsB, cfg):
         return ReadCall(name, seq, ST_PREFILTERED)

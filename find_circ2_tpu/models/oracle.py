@@ -83,17 +83,19 @@ def _kmer(codes: np.ndarray) -> int:
 
 
 def anchor_candidates(genome: Genome, index: SeedIndex,
-                      anchor: np.ndarray, cfg: Config
+                      anchor: np.ndarray, cfg: Config, ball: int = 1
                       ) -> tuple[AnchorHit, list[tuple[int, int]]]:
     """SPEC.md §2 [FROZEN v2] single-best statistics plus the §2b
     [FROZEN v3] capped candidate list of best-mm hits.
 
     Anchors containing any non-ACGT code are unalignable; otherwise every
-    20-mer within Hamming distance A_MM of the (strand-adjusted) query is
-    looked up exactly; candidate sets are disjoint across variants so
-    best/second/count statistics are pure range arithmetic. The returned
-    list holds all (strand, position) hits at best mm, sorted by
-    (strand '+' first, position), capped at max_pair_hits.
+    20-mer within Hamming distance `ball` (A_MM for the first pass;
+    rescue_anchor_mm for the §2 [FROZEN v4] 2-mm rescue pass) of the
+    (strand-adjusted) query is looked up exactly; candidate sets are
+    disjoint across variants so best/second/count statistics are pure
+    range arithmetic. The returned list holds all (strand, position)
+    hits at best mm, sorted by (strand '+' first, position), capped at
+    max_pair_hits.
     """
     a, pk = cfg.anchor_len, cfg.prefix_len
     if np.any(anchor >= 4):
@@ -108,6 +110,15 @@ def anchor_candidates(genome: Genome, index: SeedIndex,
                 u = q.copy()
                 u[j] = (q[j] + r) % 4
                 variants.append((u, 1))
+        if ball >= 2:
+            for j1 in range(a):
+                for j2 in range(j1 + 1, a):
+                    for r1 in (1, 2, 3):
+                        for r2 in (1, 2, 3):
+                            u = q.copy()
+                            u[j1] = (q[j1] + r1) % 4
+                            u[j2] = (q[j2] + r2) % 4
+                            variants.append((u, 2))
         for u, mm in variants:
             hits = index.lookup(_kmer(u[:pk]), _kmer(u[pk:]))
             if hits.size == 0 or hits.size > cfg.max_bucket:
@@ -121,8 +132,8 @@ def anchor_candidates(genome: Genome, index: SeedIndex,
     second_mm = (best_mm if n_best > 1
                  else (cands[1][0] if len(cands) > 1 else a + 1))
     qual = 0 if n_best > 1 else min(40, 10 * (second_mm - best_mm))
-    hit = AnchorHit(aligned=best_mm <= cfg.max_anchor_mm, pos=pos,
-                    strand=strand, mm=best_mm, n_best=n_best,
+    hit = AnchorHit(aligned=best_mm <= max(cfg.max_anchor_mm, ball),
+                    pos=pos, strand=strand, mm=best_mm, n_best=n_best,
                     second_mm=second_mm, qual=qual)
     pairs = sorted((s, int(p)) for mm, s, _, _, hits in cands
                    if mm == best_mm for p in hits)
@@ -262,6 +273,17 @@ def call_read(genome: Genome, index: SeedIndex, name: str, seq: str,
     codes_rc = REVCOMP_LUT[codes[::-1]]
     hitA, candsA = anchor_candidates(genome, index, codes[:a], cfg)
     hitB, candsB = anchor_candidates(genome, index, codes[-a:], cfg)
+    # §2 2-mm anchor rescue [FROZEN v4] (config.rescue_anchor_mm): an
+    # anchor with no <=1-mm hit whose MATE aligned at <=1 mm re-searches
+    # at distance 2. Gated on the mate so unmappable junk (both anchors
+    # random) never pays the wide enumeration.
+    if cfg.rescue_anchor_mm >= 2:
+        if not hitA.aligned and hitB.aligned:
+            hitA, candsA = anchor_candidates(genome, index, codes[:a],
+                                             cfg, ball=2)
+        elif not hitB.aligned and hitA.aligned:
+            hitB, candsB = anchor_candidates(genome, index, codes[-a:],
+                                             cfg, ball=2)
     # §2b prefilter: ANY candidate hit extending contiguously drops the
     # read (single-candidate lists reduce to the v2 rule).
     if prefilter and (
@@ -279,30 +301,46 @@ def call_read(genome: Genome, index: SeedIndex, name: str, seq: str,
     # lexicographic min of (edits, !canon+, !canon-, pA, pB) [FROZEN].
     best_key = None
     best = None
+    explored = []     # (edits, kind, start, end) of every viable pair
     for sA, posA in candsA:
         for sB, posB in candsB:
             if sA != sB:
                 continue
             if sA == 0:
                 R, pA, pB = codes, posA, posB
-                qual_left, qual_right = hitA.qual, hitB.qual
             else:
                 # Strand canonicalization [FROZEN], SPEC §3.
                 R, pA, pB = codes_rc, posB, posA
-                qual_left, qual_right = hitB.qual, hitA.qual
             if int(genome.chrom_of(pA)) != int(genome.chrom_of(pB)):
                 continue
             pj = _pair_junction(genome, R, pA, pB, l, cfg)
             if pj is None:
                 continue
             kind, start, end, edits, n_bp, best_bp, c_p, c_m = pj
+            explored.append((edits, kind, start, end))
             key = (edits, not c_p, not c_m, pA, pB)
             if best_key is None or key < best_key:
                 best_key = key
+                if sA == 0:
+                    qual_left, qual_right = hitA.qual, hitB.qual
+                else:
+                    qual_left, qual_right = hitB.qual, hitA.qual
                 best = (sA, pA, pB, qual_left, qual_right, pj)
     if best is not None:
         s, pA, pB, qual_left, qual_right, pj = best
         kind, start, end, edits, n_bp, best_bp, _, _ = pj
+        if cfg.pair_rescue and (hitA.n_best > 1 or hitB.n_best > 1):
+            # Pair-margin bridge rescue [FROZEN v4] (config.py
+            # pair_rescue): margin over the best explored pair at a
+            # DIFFERENT junction; no competitor behaves like second_mm's
+            # a+1 convention.
+            alts = [e for e, k2, s2, e2 in explored
+                    if (k2, s2, e2) != (kind, start, end)]
+            margin = (min(alts) - edits) if alts else (a + 1)
+            if margin > 0:
+                rq = min(40, 10 * margin)
+                qual_left = max(qual_left, rq)
+                qual_right = max(qual_right, rq)
         endB = pB + a
         sense, signal = _sense_signal(genome.codes, kind, start, end, s)
         seg1 = (pA, pA + best_bp)

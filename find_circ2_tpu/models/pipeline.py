@@ -439,6 +439,18 @@ def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
             routed: list[tuple[str, str]] = []
             for i, (name, seq) in enumerate(records):
                 status = int(res["status"][i])
+                if (slowpath is not None and cfg.rescue_anchor_mm >= 2
+                        and status in (ST_UNALIGNED_A, ST_UNALIGNED_B)):
+                    # §2 2-mm anchor rescue [FROZEN v4]: host re-call
+                    # with the widened ball (precedence over explore —
+                    # the device program knows only the <=1-mm ball).
+                    from find_circ2_tpu.models.multihit import \
+                        call_read_multi
+                    with timed("slowpath_rescue"):
+                        batch_calls.append(call_read_multi(
+                            slowpath[0], slowpath[1], name, seq, cfg,
+                            prefilter))
+                    continue
                 if (slowpath is not None or explore) and res["multi"][i] \
                         and status != ST_PREFILTERED:
                     # SPEC §2b: anchor best-hit tie -> pair exploration.

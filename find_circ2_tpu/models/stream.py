@@ -19,7 +19,8 @@ import numpy as np
 
 from find_circ2_tpu.config import (RPAD_CODE, Config, ST_JUNCTION,
                                    ST_PREFILTERED, ST_TOO_LONG,
-                                   ST_TOO_SHORT)
+                                   ST_TOO_SHORT, ST_UNALIGNED_A,
+                                   ST_UNALIGNED_B)
 from find_circ2_tpu.io.twobit import _CODE_LUT, codes_to_seq
 from find_circ2_tpu.models.aggregate import Aggregator, seq_hash_batch
 from find_circ2_tpu.models.oracle import ReadCall
@@ -58,7 +59,8 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
               batch_size: int | None = None, times=None,
               pipeline_depth: int = 2, slowpath=None,
               journal=None, revcomp: bool = False,
-              explore: bool | None = None, dispatch=None) -> None:
+              explore: bool | None = None, dispatch=None,
+              shard: tuple[int, int] | None = None) -> None:
     """Stream a FASTQ(.gz) file through the device pipeline into `agg`.
 
     Dispatch is pipelined `pipeline_depth` batches deep with packed
@@ -82,7 +84,18 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
 
     `revcomp=True` reverse-complements every read after encoding — the
     --pe mate-2 transform (SPEC.md §7); junction ReadCalls then carry the
-    reverse-complemented sequence (it is the processed read)."""
+    reverse-complemented sequence (it is the processed read).
+
+    `shard=(proc_id, nproc)` is the multi-process mode (`find_circ
+    --nproc`, SURVEY.md §7 step 6): every process scans the file but
+    encodes/detects only batches with batch_id % nproc == proc_id —
+    batch-granular round-robin, so multi-host runs ride this native
+    fast path instead of the per-read Python loop (VERDICT r3 next #6).
+    Stats cover only owned batches (plus file-level too-short/too-long
+    counts on proc 0 alone); callers psum them across processes. The
+    union over all ranks processes each read exactly once, and the
+    junction merge is order-free, so the merged output is byte-identical
+    to a single-process run (tests/test_multiproc_cli.py)."""
     import contextlib
     from collections import deque
 
@@ -114,8 +127,9 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
         if handle is not None:
             with timed("explore_multihit"):
                 batch_calls = batch_calls + explorer.fetch(handle)
-        for call in batch_calls:
-            agg.add(call)
+        with timed("aggregate"):
+            for call in batch_calls:
+                agg.add(call)
         if journal is not None:
             from find_circ2_tpu.utils.journal import FastBatch
             journal.record_fast(batch_id, FastBatch(
@@ -142,14 +156,26 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
         batch_id, buf, spans, sel, packed, hashes = inflight.popleft()
         with timed("device_detect"):
             res = unpack_results(np.asarray(packed))
+        # NOTE: the slow-path loops below keep their own timers; the
+        # "aggregate" stage must not enclose them or the report
+        # double-counts (negative wall residual).
         with timed("aggregate"):
             status = res["status"][:sel.size]
+            # §2 2-mm anchor rescue [FROZEN v4]: device-unaligned reads
+            # re-call on the host slow path, which widens the failing
+            # anchor's ball when the mate aligned (oracle-mirrored).
+            # Takes precedence over explore routing: the device explore
+            # program knows only the <=1-mm ball.
+            if slowpath is not None and cfg.rescue_anchor_mm >= 2:
+                rescue = np.isin(status, (ST_UNALIGNED_A, ST_UNALIGNED_B))
+            else:
+                rescue = np.zeros(sel.size, bool)
             if slowpath is not None or explorer is not None:
                 route = (res["multi"][:sel.size] != 0) \
-                    & (status != ST_PREFILTERED)
+                    & (status != ST_PREFILTERED) & ~rescue
             else:
                 route = np.zeros(sel.size, bool)
-            plain_skip = (status != ST_JUNCTION) & ~route
+            plain_skip = (status != ST_JUNCTION) & ~route & ~rescue
             counts: dict[int, int] = {}
             if plain_skip.any():
                 agg.stats.add("reads_total", int(plain_skip.sum()))
@@ -196,25 +222,31 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
                     qual_right=int(res["qual_right"][i]),
                     signal=codes_to_seq(res["signal"][i]),
                 ))
-            for i in np.nonzero(route)[0]:
-                name, seq = read_name(i), read_seq(i)
-                # SPEC §2b multi-hit pair exploration: device program
-                # (ops/explore.py) or the vectorized host twin
-                # (models/multihit.py).
-                if explorer is not None:
-                    routed.append((name, seq))
-                    continue
-                from find_circ2_tpu.models.multihit import call_read_multi
-                with timed("slowpath_multihit"):
-                    batch_calls.append(call_read_multi(
-                        slowpath[0], slowpath[1], name, seq, cfg,
-                        prefilter))
-            handle = None
-            if routed:
-                with timed("explore_dispatch"):
-                    handle = explorer.dispatch(routed)
-            finishing.append((batch_id, int(sel.size), counts,
-                              batch_calls, handle))
+        for i in np.nonzero(route)[0]:
+            name, seq = read_name(i), read_seq(i)
+            # SPEC §2b multi-hit pair exploration: device program
+            # (ops/explore.py) or the vectorized host twin
+            # (models/multihit.py).
+            if explorer is not None:
+                routed.append((name, seq))
+                continue
+            from find_circ2_tpu.models.multihit import call_read_multi
+            with timed("slowpath_multihit"):
+                batch_calls.append(call_read_multi(
+                    slowpath[0], slowpath[1], name, seq, cfg,
+                    prefilter))
+        for i in np.nonzero(rescue)[0]:
+            from find_circ2_tpu.models.multihit import call_read_multi
+            with timed("slowpath_rescue"):
+                batch_calls.append(call_read_multi(
+                    slowpath[0], slowpath[1], read_name(i),
+                    read_seq(i), cfg, prefilter))
+        handle = None
+        if routed:
+            with timed("explore_dispatch"):
+                handle = explorer.dispatch(routed)
+        finishing.append((batch_id, int(sel.size), counts,
+                          batch_calls, handle))
         # Keep one explore-pending batch in flight so its program
         # overlaps the next detect batch.
         while len(finishing) > 1:
@@ -227,14 +259,18 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
             short = lens_all < a2
             long_ = lens_all > Lp
             ok_idx = np.nonzero(~short & ~long_)[0]
-        for st, mask in ((ST_TOO_SHORT, short), (ST_TOO_LONG, long_)):
-            cnt = int(mask.sum())
-            if cnt:
-                agg.stats.add("reads_total", cnt)
-                agg.stats.add_status(st, cnt)
+        if shard is None or shard[0] == 0:
+            # Out-of-batch reads are counted once, by rank 0.
+            for st, mask in ((ST_TOO_SHORT, short), (ST_TOO_LONG, long_)):
+                cnt = int(mask.sum())
+                if cnt:
+                    agg.stats.add("reads_total", cnt)
+                    agg.stats.add_status(st, cnt)
         for lo in range(0, ok_idx.size, bs):
             batch_id = next_batch_id
             next_batch_id += 1
+            if shard is not None and batch_id % shard[1] != shard[0]:
+                continue
             if batch_id in done:
                 replay(done[batch_id], min(bs, ok_idx.size - lo))
                 continue
@@ -268,13 +304,21 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
                     packed.copy_to_host_async()
                 except AttributeError:
                     pass
-            inflight.append((batch_id, buf, spans, sel, packed,
-                             seq_hash_batch(arr)))
+            with timed("encode"):
+                hashes = seq_hash_batch(arr)
+            inflight.append((batch_id, buf, spans, sel, packed, hashes))
             if len(inflight) > pipeline_depth:
                 consume()
 
-    for buf, spans in _iter_records(path):
-        process(buf, spans)
+    # The chunk iterator (file read + gzip + native FASTQ scan) is timed
+    # as its own stage so I/O cost can't hide in the wall residual.
+    it = _iter_records(path)
+    while True:
+        with timed("read_parse"):
+            item = next(it, None)
+        if item is None:
+            break
+        process(*item)
     while inflight:
         consume()
     while finishing:

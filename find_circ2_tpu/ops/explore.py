@@ -330,6 +330,23 @@ def explore_core(gpacked, nbases, chrom_offsets, reads, lens,
 
     qual_left = jnp.where(s_s == 0, hits_a.qual, hits_b.qual)
     qual_right = jnp.where(s_s == 0, hits_b.qual, hits_a.qual)
+    if cfg.pair_rescue:
+        # Pair-margin bridge rescue [FROZEN v4] (config.py pair_rescue),
+        # identical to oracle.call_read: min edits over viable pairs at
+        # a DIFFERENT (kind, start, end) than the winner; no competitor
+        # -> margin a+1. Gate on the §2b multi condition so non-multi
+        # rows (never routed here in production) match detect_core.
+        diff = ((flat(kind) != kind_s[:, None])
+                | (flat(startj) != start_s[:, None].astype(jnp.uint32))
+                | (flat(endj) != end_s[:, None].astype(jnp.uint32)))
+        alt = jnp.min(jnp.where(flat(pair_ok) & diff, flat(edits), BIG),
+                      axis=1)
+        margin = jnp.where(alt >= BIG, a + 1, alt - edits_s)
+        is_multi = (hits_a.n_best > 1) | (hits_b.n_best > 1)
+        rq = jnp.where(any_pair & is_multi & (margin > 0),
+                       jnp.minimum(40, 10 * margin), 0)
+        qual_left = jnp.maximum(qual_left, rq)
+        qual_right = jnp.maximum(qual_right, rq)
     return dict(
         status=status,
         kind=kind_s,

@@ -27,8 +27,15 @@ class FastBatch:
 
 
 class RunJournal:
-    def __init__(self, path: str | os.PathLike) -> None:
+    def __init__(self, path: str | os.PathLike,
+                 meta: dict | None = None) -> None:
+        """`meta` (e.g. {"nproc": N, "proc_id": i}) is written as a
+        header record and validated on resume: replaying a journal
+        written under a different run shape (a different process count
+        or rank — whose batch ids mean different reads) fails loudly
+        instead of silently corrupting counts."""
         self.path = os.fspath(path)
+        self.meta = meta
         self._valid_bytes: int | None = None  # set by completed_batches
 
     def completed_batches(self) -> dict[int, list[ReadCall]]:
@@ -55,6 +62,17 @@ class RunJournal:
             if line:
                 try:
                     rec = json.loads(line)
+                    if "meta" in rec:
+                        if self.meta is not None \
+                                and rec["meta"] != self.meta:
+                            raise ValueError(
+                                f"journal {self.path} was written by a "
+                                f"run with meta {rec['meta']}, this run "
+                                f"has {self.meta}: batch ids are not "
+                                "comparable; delete the journal or rerun "
+                                "with the original sharding")
+                        offset += len(raw) + 1
+                        continue
                     calls = [ReadCall(**c) for c in rec["calls"]]
                     if "counts" in rec:
                         out[rec["batch"]] = FastBatch(
@@ -86,7 +104,10 @@ class RunJournal:
                 and os.path.getsize(self.path) > self._valid_bytes):
             with open(self.path, "r+b") as fh:
                 fh.truncate(self._valid_bytes)
+        write_header = self.meta is not None and not self._valid_bytes
         with open(self.path, "at", encoding="ascii") as fh:
+            if write_header:
+                fh.write(json.dumps({"meta": self.meta}) + "\n")
             fh.write(json.dumps(rec) + "\n")
             fh.flush()
             os.fsync(fh.fileno())

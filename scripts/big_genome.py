@@ -58,58 +58,95 @@ def make_genome_codes(total_bp: int, core_bp: int, mut_rate: float,
 
 
 def build(args):
+    """Stage-resumable build (VERDICT r3 missing #1: the r3 attempt died
+    mid-query-table after 90 min of index build and saved NOTHING).
+    Each stage saves its artifacts the moment it completes and is
+    skipped on rerun when they already exist on disk."""
     import numpy as np
     from find_circ2_tpu.config import Config
-    from find_circ2_tpu.index.build import build_index
+    from find_circ2_tpu.index.build import SeedIndex, build_index
     from find_circ2_tpu.index.hashtable import build_query_table
     from find_circ2_tpu.io.genome import Genome
 
     cfg = Config()
+    w = args.workdir
+    os.makedirs(w, exist_ok=True)
     total = int(args.total_gbp * 1e9)
-    log(f"generating {total / 1e9:.2f} Gbp genome "
-        f"(core {args.core_mbp} Mbp, mut {args.mut_rate})")
-    codes = make_genome_codes(total, int(args.core_mbp * 1e6),
-                              args.mut_rate, seed=1)
     n_chroms = args.n_chroms
-    per = total // n_chroms
-    records = [(f"chr{i + 1}", codes[i * per:(i + 1) * per])
-               for i in range(n_chroms)]
-    genome = Genome.from_records(records, cfg)
-    del codes, records
-    log(f"genome concatenated: {len(genome):,} codes "
-        f"({len(genome) / 2 ** 30:.2f} GiB), {n_chroms} chroms; "
-        f"max offset {int(genome.chrom_offsets[-1]):,} "
-        f"(2^31={2 ** 31:,})")
+
+    def have(*names):
+        return all(os.path.exists(f"{w}/{n}.npy") for n in names)
+
+    # --- stage 1: genome ------------------------------------------------
+    if have("codes", "chrom_offsets", "chrom_lengths"):
+        log("stage genome: cached, loading")
+        genome = Genome(
+            codes=np.load(f"{w}/codes.npy", mmap_mode="r"),
+            chrom_names=[f"chr{i + 1}" for i in range(n_chroms)],
+            chrom_offsets=np.load(f"{w}/chrom_offsets.npy"),
+            chrom_lengths=np.load(f"{w}/chrom_lengths.npy"),
+        )
+    else:
+        log(f"generating {total / 1e9:.2f} Gbp genome "
+            f"(core {args.core_mbp} Mbp, mut {args.mut_rate})")
+        codes = make_genome_codes(total, int(args.core_mbp * 1e6),
+                                  args.mut_rate, seed=1)
+        per = total // n_chroms
+        records = [(f"chr{i + 1}", codes[i * per:(i + 1) * per])
+                   for i in range(n_chroms)]
+        genome = Genome.from_records(records, cfg)
+        del codes, records
+        np.save(f"{w}/codes.npy", genome.codes)
+        np.save(f"{w}/chrom_offsets.npy", genome.chrom_offsets)
+        np.save(f"{w}/chrom_lengths.npy", genome.chrom_lengths)
+        log(f"genome stage saved: {len(genome):,} codes "
+            f"({len(genome) / 2 ** 30:.2f} GiB), {n_chroms} chroms; "
+            f"max offset {int(genome.chrom_offsets[-1]):,} "
+            f"(2^31={2 ** 31:,})")
     if args.total_gbp >= 2.2:
         assert len(genome) > 2 ** 31, "demo must cross the int32 barrier"
 
-    log("building chunked index...")
-    t = time.time()
-    index = build_index(genome, cfg)
-    log(f"index built in {time.time() - t:.0f}s: "
-        f"{index.positions.size:,} positions")
+    # --- stage 2: two-level index ---------------------------------------
+    if have("positions", "suffix_vals", "offsets") \
+            and os.path.exists(f"{w}/index_meta.json"):
+        log("stage index: cached, loading")
+        im = json.load(open(f"{w}/index_meta.json"))
+        index = SeedIndex(
+            anchor_len=cfg.anchor_len, prefix_len=cfg.prefix_len,
+            positions=np.load(f"{w}/positions.npy", mmap_mode="r"),
+            suffix_vals=np.load(f"{w}/suffix_vals.npy", mmap_mode="r"),
+            offsets=np.load(f"{w}/offsets.npy"),
+            bsearch_iters=im["bsearch_iters"])
+    else:
+        log("building chunked index...")
+        t = time.time()
+        index = build_index(genome, cfg)
+        np.save(f"{w}/positions.npy", index.positions)
+        np.save(f"{w}/suffix_vals.npy", index.suffix_vals)
+        np.save(f"{w}/offsets.npy", index.offsets)
+        with open(f"{w}/index_meta.json", "w") as fh:
+            json.dump({"bsearch_iters": index.bsearch_iters}, fh)
+        log(f"index stage built+saved in {time.time() - t:.0f}s: "
+            f"{index.positions.size:,} positions")
 
-    log("building query table (canonical k-mers + cuckoo)...")
-    t = time.time()
-    qt = build_query_table(index, cfg)
-    log(f"table built in {time.time() - t:.0f}s: "
-        f"{qt.n_buckets:,} buckets "
-        f"({qt.table.nbytes / 2 ** 30:.2f} GiB)")
-
-    os.makedirs(args.workdir, exist_ok=True)
-    t = time.time()
-    np.save(f"{args.workdir}/codes.npy", genome.codes)
-    np.save(f"{args.workdir}/chrom_offsets.npy", genome.chrom_offsets)
-    np.save(f"{args.workdir}/chrom_lengths.npy", genome.chrom_lengths)
-    np.save(f"{args.workdir}/positions.npy", index.positions)
-    np.save(f"{args.workdir}/suffix_vals.npy", index.suffix_vals)
-    np.save(f"{args.workdir}/offsets.npy", index.offsets)
-    np.save(f"{args.workdir}/qtable.npy", qt.table)
-    np.save(f"{args.workdir}/qmeta.npy", qt.meta)
-    with open(f"{args.workdir}/meta.json", "w") as fh:
-        json.dump({"total_bp": total, "n_chroms": n_chroms,
-                   "bsearch_iters": index.bsearch_iters}, fh)
-    log(f"artifacts saved in {time.time() - t:.0f}s -> {args.workdir}")
+    # --- stage 3: query table -------------------------------------------
+    if not (have("qtable", "qmeta")
+            and os.path.exists(f"{w}/meta.json")):
+        log("building query table (canonical k-mers + cuckoo)...")
+        t = time.time()
+        qt = build_query_table(index, cfg)
+        np.save(f"{w}/qtable.npy", qt.table)
+        np.save(f"{w}/qmeta.npy", qt.meta)
+        if qt.ext is not None:
+            np.save(f"{w}/qext.npy", qt.ext)
+            np.save(f"{w}/qext_id.npy", qt.ext_id)
+        with open(f"{w}/meta.json", "w") as fh:
+            json.dump({"total_bp": total, "n_chroms": n_chroms,
+                       "bsearch_iters": index.bsearch_iters}, fh)
+        log(f"table stage built+saved in {time.time() - t:.0f}s: "
+            f"{qt.n_buckets:,} buckets "
+            f"({qt.table.nbytes / 2 ** 30:.2f} GiB)")
+    log(f"build complete -> {w}")
 
 
 def load(args):
@@ -132,8 +169,13 @@ def load(args):
         suffix_vals=np.load(f"{w}/suffix_vals.npy", mmap_mode="r"),
         offsets=np.load(f"{w}/offsets.npy"),
         bsearch_iters=meta["bsearch_iters"],
-        qtable=QueryTable(table=np.load(f"{w}/qtable.npy", mmap_mode="r"),
-                          meta=np.load(f"{w}/qmeta.npy")),
+        qtable=QueryTable(
+            table=np.load(f"{w}/qtable.npy", mmap_mode="r"),
+            meta=np.load(f"{w}/qmeta.npy"),
+            ext=(np.load(f"{w}/qext.npy", mmap_mode="r")
+                 if os.path.exists(f"{w}/qext.npy") else None),
+            ext_id=(np.load(f"{w}/qext_id.npy", mmap_mode="r")
+                    if os.path.exists(f"{w}/qext_id.npy") else None)),
     )
     return genome, index
 

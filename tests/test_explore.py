@@ -115,8 +115,15 @@ def test_explore_batch_equals_oracle_repeat_library():
              <= CFG.max_read_len]
     got = _explore_calls(dindex, reads, CFG)
     n_multi = 0
+    # The explore program's contract is the <=1-mm world: production
+    # routes device-unaligned reads to the host BEFORE explore, so the
+    # §2 [FROZEN v4] 2-mm rescue never runs on it — compare against the
+    # oracle with rescue off. (run_reads-level equality WITH rescue is
+    # covered by tests/test_pipeline_vs_oracle.py.)
+    import dataclasses
+    cfg_1mm = dataclasses.replace(CFG, rescue_anchor_mm=1)
     for (name, seq), g in zip(reads, got):
-        o = call_read(sim.genome, index, name, seq, CFG)
+        o = call_read(sim.genome, index, name, seq, cfg_1mm)
         assert o == g, (name, o, g)
         c = seq_to_codes(seq)
         hA, _ = anchor_candidates(sim.genome, index, c[:20], CFG)

@@ -54,7 +54,7 @@ def test_golden_files_unchanged_hashes():
     want = {
         "genome.fa": "7a4af9ebc3f275122dd03d2ce6f1925673113b4c",
         "reads.fastq": "32bb945c56a6a03dc0f880e5efd9f541bdf21719",
-        "splice_sites.bed": "dd3a6b39bab0374a6986f38ee49a674cd5fe0d90",
+        "splice_sites.bed": "7e79b698e5fee69386b34c6aad9a22b1ebb33dc4",
         "stats.txt": "24be97fb6a75410046ba59eecb82dd88868361ed",
         "circ_candidates.bed": "f88e7e80a372a13606bacffccf353d91a80e3412",
     }

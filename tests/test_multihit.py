@@ -62,8 +62,15 @@ def test_oracle_recovers_true_junction():
     assert call.status == ST_JUNCTION and call.kind == KIND_CIRCULAR
     assert (call.start - gap, call.end - gap) == (TRUE_S, TRUE_E)
     assert call.edits == 0
-    # The ambiguous anchor stays non-unique (right anchor on '+').
-    assert call.qual_right == 0 and call.qual_left == 40
+    # SPEC §2b pair-margin rescue [FROZEN v4]: the winning pair beats
+    # the decoy pair by exactly 1 edit, so the ambiguous right anchor's
+    # qual upgrades to min(40, 10*1) = 10.
+    assert call.qual_right == 10 and call.qual_left == 40
+    # pair_rescue=False restores v3 anchor-only quals.
+    import dataclasses
+    v3 = call_read(genome, index, "r", read_seq,
+                   dataclasses.replace(CFG, pair_rescue=False))
+    assert v3.qual_right == 0 and v3.qual_left == 40
 
 
 def test_device_slowpath_matches_oracle_v2_misses():

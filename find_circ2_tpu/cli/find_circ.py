@@ -141,8 +141,6 @@ def build_parser() -> argparse.ArgumentParser:
                    "from disk on rerun")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timings to stderr")
-    p.add_argument("--pallas-k2", action="store_true",
-                   help="use the Pallas breakpoint kernel (bit-identical)")
     return p
 
 
@@ -168,8 +166,7 @@ def run(args) -> int:
         init_distributed(args.coordinator, nproc, args.proc_id)
     cfg = Config(anchor_len=args.anchor,
                  prefix_len=min(12, args.anchor - 8),
-                 stranded=args.stranded, batch_size=args.batch_size,
-                 pallas_k2=args.pallas_k2)
+                 stranded=args.stranded, batch_size=args.batch_size)
     if args.index:
         genome, index = load_index(args.index)
         if index.anchor_len != cfg.anchor_len:

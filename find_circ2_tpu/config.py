@@ -19,7 +19,14 @@ class Config:
     prefix_len: int = 12          # direct-addressed index prefix (SPEC §1)
     max_anchor_mm: int = 1        # A_MM: enumeration ball radius (SPEC §2)
     max_bucket: int = 64          # repetitive-20-mer guard (SPEC §2)
-    max_pair_hits: int = 8        # multi-hit pairing cap (SPEC §2b)
+    max_pair_hits: int = 16       # multi-hit pairing cap K (SPEC §2b).
+    # 8 -> 16 in v4: the r4 relocation study (scripts/trace_misses.py,
+    # /tmp pool check recorded in docs/DESIGN.md "Repeat relocation
+    # ceiling") found ~20% of repeat-region misses had the true locus at
+    # candidate rank 8-31; K=16 buys half of that band (configs[2]
+    # recall 0.891 -> 0.906) at 4x explore-grid cost on the ~15-20%
+    # routed reads. K=32 adds +1.3pp more at 4x again — available via
+    # Config for recall-critical runs.
     max_read_len: int = 160       # L_max: device padding length
     chrom_gap: int = 512          # sentinel padding around chromosomes
     min_uniq_qual: int = 10       # unique-anchor qual threshold
@@ -31,9 +38,6 @@ class Config:
     batch_size: int = 4096        # reads per device batch
     # Library strandedness: None => unstranded => strandmatch "NA".
     stranded: bool = False
-    # Use the Pallas K2 kernel (ops/pallas_breakpoint) instead of the
-    # jnp formulation. Bit-identical; perf differs by backend/version.
-    pallas_k2: bool = False
     # SPEC §2 2-mm anchor rescue [FROZEN v4]: an anchor with NO hit in
     # the <=1-mm enumeration ball, whose mate anchor DID align at
     # <=1 mm, is re-searched at Hamming distance exactly 2 (host slow

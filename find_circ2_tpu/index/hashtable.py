@@ -349,6 +349,43 @@ def _build_from_keys(p12, s8, cnt_f, pos_f, cnt_r, pos_r,
                       ext=ext, ext_id=ext_id)
 
 
+def _shard_from_table(qt: QueryTable, n_shards: int, n_buckets: int,
+                      cfg: Config, load: float, seed: int):
+    """Carve prefix-range shards out of an EXISTING full table.
+
+    Every occupied slot stores its canonical key (p12, s8) and both
+    orientations' clamped payloads, so sharding is filter + re-place —
+    no re-aggregation of the (possibly multi-hour at 3 Gbp) distinct
+    k-mer pass. Table contents are placement-permutations of the
+    slow-path shards; all lookups are exact key compares, so results
+    are bit-identical (tests/test_sharded.py)."""
+    # No ascontiguousarray: qt.table may be a tens-of-GiB memmap; the
+    # reshape is a view and the boolean filter copies only kept rows.
+    tab = np.asarray(qt.table).reshape(-1, LANES)
+    occupied = tab[:, 0] != EMPTY_KEY
+    S = -(-n_buckets // n_shards)
+    parts = []
+    for i in range(n_shards):
+        keep = occupied & (tab[:, 0] >= i * S) & (tab[:, 0] < (i + 1) * S)
+        rows = tab[keep]
+        packed = rows[:, 1]
+        parts.append(_build_from_keys(
+            rows[:, 0], packed & S8_MASK,
+            (packed >> 16) & CNT_MASK,
+            rows[:, 2].view(np.uint32),
+            (packed >> (16 + CNT_BITS)) & CNT_MASK,
+            rows[:, 3].view(np.uint32),
+            load=load, seed=seed + i, max_bucket=cfg.max_bucket))
+    T_pad = max(p.table.shape[0] for p in parts)
+    tables = np.full((n_shards, T_pad, SLOTS * LANES), EMPTY_KEY,
+                     np.int32)
+    metas = np.zeros((n_shards, 3), np.int32)
+    for i, p in enumerate(parts):
+        tables[i, :p.table.shape[0]] = p.table
+        metas[i] = p.meta
+    return tables, metas
+
+
 def shard_query_table(index: SeedIndex, n_shards: int,
                       cfg: Config = Config(), *, load: float = 0.8,
                       seed: int = 0, extras: bool = False):
@@ -361,10 +398,17 @@ def shard_query_table(index: SeedIndex, n_shards: int,
               ext_ids int32 [n_shards, T_pad, SLOTS]) — each distinct
              canonical k-mer's §2b positions live on its owning shard,
              so cross-shard candidate merging is an all_gather + re-cap
-             (ops/explore.py)."""
+             (ops/explore.py).
+
+    When the index already carries a built full table, non-extras
+    shards are carved from it directly (`_shard_from_table`) instead of
+    re-running the whole-genome distinct-k-mer aggregation."""
     if cfg.max_bucket + 1 >= (1 << CNT_BITS):
         raise ValueError(f"max_bucket must be < {(1 << CNT_BITS) - 1} "
                          "to fit the packed count field")
+    if index.qtable is not None and not extras:
+        return _shard_from_table(index.qtable, n_shards, index.n_buckets,
+                                 cfg, load, seed)
     p12, s8, cnt_f, pos_f, cnt_r, pos_r, st_f, st_r = canonical_keys(index)
     nb = index.n_buckets
     S = -(-nb // n_shards)

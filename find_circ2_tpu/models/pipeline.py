@@ -322,15 +322,12 @@ def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
     circular = endB <= pA
     kind = jnp.where(circular, KIND_CIRCULAR, KIND_LINEAR).astype(jnp.int32)
 
-    if cfg.pallas_k2:
-        from find_circ2_tpu.ops.pallas_breakpoint import \
-            breakpoint_search_pallas
-        bp = breakpoint_search_pallas(
-            gpacked, nbases, R, lens, pA, endB, kind, s, cfg,
-            interpret=jax.default_backend() != "tpu")
-    else:
-        bp = breakpoint_search(gpacked, nbases, R, lens, pA, endB,
-                               kind, s, cfg)
+    # K2: XLA's jnp prefix-sum formulation is the production (and only)
+    # kernel — the banded DP rides the MXU as a triangular-ones matmul;
+    # a Mosaic hand kernel was measured and retired (docs/DESIGN.md
+    # "Pallas K2 verdict").
+    bp = breakpoint_search(gpacked, nbases, R, lens, pA, endB,
+                           kind, s, cfg)
 
     # --- status resolution [FROZEN priority] ----------------------------
     status = jnp.full(B, ST_JUNCTION, jnp.int32)

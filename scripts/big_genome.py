@@ -295,6 +295,22 @@ def dryrun(args):
 
 
 def bench(args):
+    """Single-chip throughput over the whole-genome index.
+
+    A whole-genome canonical cuckoo table is tens of GiB — larger than
+    one v5e's 16 GiB HBM (bowtie2's FM-index stays ~4 GB because a BWT
+    is succinct; this table trades memory for O(1) gather lookups, and
+    the design shards it by prefix range across chips, SPEC §2 /
+    parallel/sharded.py). With --shard-of N > 1 the bench therefore
+    loads ONE prefix-range shard (1/N of the table) — the realistic
+    per-chip configuration of an N-chip deployment, where per-chip
+    throughput is this figure and the psum/pmin combine (exercised by
+    the 8-device CPU dryrun) rides ICI. Per-chip K1 work is identical
+    under sharding — every chip gathers both probe rows for ALL
+    variants against its own shard (unowned keys compare-miss), so the
+    shard bench measures the true per-chip cost; junction counts come
+    out low because off-shard hits would resolve via the other shards'
+    psum in a real deployment."""
     import numpy as np
     import jax
     from find_circ2_tpu.config import RPAD_CODE, Config
@@ -304,6 +320,33 @@ def bench(args):
     cfg = Config()
     genome, index = load(args)
     log(f"device={jax.devices()[0].device_kind}")
+    if args.shard_of > 1:
+        # Carve shard 0 straight out of the saved full table: every row
+        # stores its canonical key (p12 lane 0, s8 in lane 1) and both
+        # orientations' payloads, so a prefix-range shard is a filtered
+        # re-place — no re-aggregation of the 3G-entry index.
+        from find_circ2_tpu.index.hashtable import (CNT_BITS, CNT_MASK,
+            LANES, S8_MASK, _build_from_keys)
+        log(f"carving shard 0 of {args.shard_of} from the full table...")
+        t = time.time()
+        nb_range = index.n_buckets // args.shard_of
+        tab = np.asarray(index.qtable.table).reshape(-1, LANES)
+        keep = (tab[:, 0] >= 0) & (tab[:, 0] < nb_range)
+        rows = tab[keep]
+        del tab
+        packed = rows[:, 1]
+        index.qtable = _build_from_keys(
+            rows[:, 0], packed & S8_MASK,
+            (packed >> 16) & CNT_MASK,
+            rows[:, 2].view(np.uint32),
+            (packed >> (16 + CNT_BITS)) & CNT_MASK,
+            rows[:, 3].view(np.uint32),
+            load=0.8, seed=0, max_bucket=cfg.max_bucket)
+        log(f"shard carved in {time.time() - t:.0f}s: "
+            f"{rows.shape[0]:,} keys, "
+            f"{index.qtable.table.nbytes / 2 ** 30:.2f} GiB on-chip "
+            f"(full table is {args.shard_of}x the keys)")
+        del rows
     dindex = DeviceIndex.build(genome, index, cfg)
     chrom_idx = genome.n_chroms - 1
     n = args.bench_reads
@@ -343,6 +386,11 @@ def main():
     ap.add_argument("--mut-rate", type=float, default=0.003)
     ap.add_argument("--n-chroms", type=int, default=22)
     ap.add_argument("--bench-reads", type=int, default=65536)
+    ap.add_argument("--shard-of", type=int, default=1,
+                    help="bench mode: load 1/N of the table (prefix-"
+                    "range shard 0) — the per-chip slice of an N-chip "
+                    "deployment; the full whole-genome table exceeds "
+                    "one v5e's 16 GiB HBM")
     args = ap.parse_args()
     {"build": build, "verify": verify, "dryrun": dryrun,
      "bench": bench}[args.mode](args)

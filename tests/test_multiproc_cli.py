@@ -165,8 +165,10 @@ def test_nproc2_journal_resume(tmp_path):
     with a sharding header; rerun replays every batch from the journal
     and produces byte-identical output."""
     fa, fq = _write_inputs(tmp_path)
+    # batch 8 -> ~4 batches, so BOTH ranks own batches and write their
+    # per-rank journals.
     base = ["--reads-format", "fastq", "-G", str(fa), "-s", None,
-            "-o", None, "--batch-size", "32"]
+            "-o", None, "--batch-size", "8"]
     jpath = tmp_path / "run.journal"
     _run_single(tmp_path, [fq], base)
     _run_nproc(tmp_path, [fq], base, extra=["--journal", str(jpath)])

@@ -64,6 +64,16 @@ def mix_hash(p12_u32, s8_u32, salt_u32):
     numpy and jax.numpy inputs (both wrap mod 2^32). [FROZEN with the
     table artifact: tables store the salts they were built with.]
 
+    The 40->32-bit key reduction MUST itself depend on the salt: the
+    pre-r4 form post-mixed the salt-independent value `p12*c1 ^ s8*c2`
+    through bijective stages, so two keys colliding under one salt
+    collided under EVERY salt — at whole-genome key counts (~2^28) a
+    handful of >4-key clusters share one reduced value and can never
+    be cuckoo-placed, livelocking every attempt (the r3 3.3 Gbp build
+    burned 4+ hours on 19 such attempts). Salted odd multipliers make
+    the two probes' collision sets independent: P(joint collision)
+    drops from D^2/2^33 to D^2/2^65.
+
     Constants are materialized in the input's own uint32 scalar type:
     JAX refuses python-int literals above int32 max next to uint32
     arrays, and numpy scalar (0-d) uint32 arithmetic warns on wrap."""
@@ -73,7 +83,10 @@ def mix_hash(p12_u32, s8_u32, salt_u32):
         import jax.numpy as jnp
         u32 = jnp.uint32
     c1, c2, c3 = u32(0x9E3779B1), u32(0x85EBCA77), u32(0xC2B2AE3D)
-    h = (p12_u32 * c1) ^ (s8_u32 * c2) ^ salt_u32
+    one = u32(1)
+    k1 = (c1 ^ salt_u32) | one
+    k2 = (c2 ^ (salt_u32 << u32(1))) | one
+    h = (p12_u32 * k1) ^ (s8_u32 * k2) ^ salt_u32
     h = (h ^ (h >> 15)) * c3
     h = h ^ (h >> 13)
     return h
@@ -216,24 +229,49 @@ def _derive_salts(seed: int, attempt: int) -> np.ndarray:
 
 
 def _try_place(p12, s8, T: int, salts: np.ndarray, rng,
-               max_rounds: int = 256):
+               max_rounds: int = 1024, log=None):
     """Parallel random-walk cuckoo insertion. Returns slot->key_id array
-    of shape [T * SLOTS] (EMPTY_KEY where free) or None on failure."""
+    of shape [T * SLOTS] (EMPTY_KEY where free) or None on failure.
+
+    Bucket indices are int64 throughout (a whole-genome table can need
+    T beyond uint32 — the r3 3.3 Gbp build crashed on np.uint32(T)).
+    The 32-bit hash is widened by folding the key's high entropy back
+    in: T within 2^32 uses the plain `mix % T`; larger T combines both
+    salted mixes. Rounds are capped generously but abort early when the
+    unplaced count stops improving (livelock detection) instead of
+    burning the full budget — the r3 failure mode was ~19 silent
+    256-round attempts over 4+ hours."""
     D = p12.size
     up = p12.astype(np.uint32)
     us = s8.astype(np.uint32)
-    tT = np.uint32(T)
-    h = np.stack([
-        (mix_hash(up, us, salts[0]) % tT).astype(np.int64),
-        (mix_hash(up, us, salts[1]) % tT).astype(np.int64),
-    ])                                                    # [2, D]
+    m0 = mix_hash(up, us, salts[0]).astype(np.int64)
+    m1 = mix_hash(up, us, salts[1]).astype(np.int64)
+    if T <= 2 ** 32:
+        h = np.stack([m0 % T, m1 % T])                    # [2, D]
+    else:
+        h = np.stack([(m0 | (m1 << 32)) % T,
+                      (m1 | (m0 << 32)) % T])
+    del m0, m1
     slot_key = np.full(T * SLOTS, EMPTY_KEY, np.int64)
     side = np.zeros(D, np.int8)
     unplaced = np.arange(D)
     lanes = np.arange(SLOTS)
-    for _ in range(max_rounds):
+    best_u = D + 1
+    stall = 0
+    for rnd in range(max_rounds):
         if unplaced.size == 0:
+            if log is not None:
+                log(f"cuckoo: placed {D:,} keys in {rnd} rounds")
             return slot_key
+        if unplaced.size < best_u:
+            best_u = unplaced.size
+            stall = 0
+        else:
+            stall += 1
+            if stall >= 64:       # livelocked: no progress in 64 rounds
+                break
+        if log is not None and rnd and rnd % 32 == 0:
+            log(f"cuckoo: round {rnd}, {unplaced.size:,} unplaced")
         b = h[side[unplaced], unplaced]
         rows = slot_key[b[:, None] * SLOTS + lanes]       # [U, SLOTS]
         empty = rows < 0
@@ -251,26 +289,33 @@ def _try_place(p12, s8, T: int, salts: np.ndarray, rng,
         side[losers] ^= 1
         side[evicted] ^= 1
         unplaced = np.concatenate([losers, evicted])
+    if log is not None:
+        log(f"cuckoo: FAILED with {unplaced.size:,}/{D:,} unplaced "
+            f"after {rnd + 1} rounds")
     return None
 
 
 def build_query_table(index: SeedIndex, cfg: Config = Config(), *,
                       load: float = 0.8, seed: int = 0,
                       pad_buckets: int | None = None,
-                      extras: bool = True) -> QueryTable:
+                      extras: bool = True, log=None) -> QueryTable:
     """Aggregate distinct canonical k-mers and place them in a cuckoo
     table. Deterministic given (index, seed). `pad_buckets` pads the
     table with unaddressable empty rows (sharded stacking). `extras`
-    additionally builds the §2b multi-hit position rows (QueryTable.ext)."""
+    additionally builds the §2b multi-hit position rows (QueryTable.ext).
+    `log` (callable) reports canonical-key and cuckoo progress — always
+    pass one for genome-scale builds."""
     if cfg.max_bucket + 1 >= (1 << CNT_BITS):
         raise ValueError(f"max_bucket must be < {(1 << CNT_BITS) - 1} "
                          "to fit the packed count field")
     keys = canonical_keys(index)
+    if log is not None:
+        log(f"canonical keys aggregated: {keys[0].size:,} distinct")
     return _build_from_keys(*keys, load=load, seed=seed,
                             pad_buckets=pad_buckets,
                             max_bucket=cfg.max_bucket,
                             positions=index.positions if extras else None,
-                            max_pair_hits=cfg.max_pair_hits)
+                            max_pair_hits=cfg.max_pair_hits, log=log)
 
 
 def _build_extras(cnt_f, st_f, cnt_r, st_r, positions, max_bucket: int,
@@ -307,7 +352,7 @@ def _build_from_keys(p12, s8, cnt_f, pos_f, cnt_r, pos_r,
                      st_f=None, st_r=None, *, load: float,
                      seed: int, pad_buckets: int | None = None,
                      max_bucket: int, positions=None,
-                     max_pair_hits: int = 8) -> QueryTable:
+                     max_pair_hits: int = 8, log=None) -> QueryTable:
     D = int(p12.size)
     T = max(1, int(np.ceil(D / (SLOTS * load))))
     slot_key = None
@@ -315,7 +360,10 @@ def _build_from_keys(p12, s8, cnt_f, pos_f, cnt_r, pos_r,
     for attempt in range(24):
         salts = _derive_salts(seed, attempt)
         rng = np.random.default_rng((seed << 16) ^ (attempt << 1) ^ 1)
-        slot_key = _try_place(p12, s8, T, salts, rng)
+        if log is not None:
+            log(f"cuckoo: attempt {attempt}, {D:,} keys, "
+                f"{T:,} buckets (load {D / (SLOTS * T):.3f})")
+        slot_key = _try_place(p12, s8, T, salts, rng, log=log)
         if slot_key is not None:
             break
         T = int(T * 1.2) + 1

@@ -134,12 +134,13 @@ def build(args):
             and os.path.exists(f"{w}/meta.json")):
         log("building query table (canonical k-mers + cuckoo)...")
         t = time.time()
-        qt = build_query_table(index, cfg)
+        # extras=False: §2b extras rows at this scale would be ~29 GiB
+        # (mostly count-2..64 core k-mers); multi-hit reads take the
+        # host slow path instead. The cuckoo build logs its attempts —
+        # the r3 run died silently for 4 h in exactly this stage.
+        qt = build_query_table(index, cfg, extras=False, log=log)
         np.save(f"{w}/qtable.npy", qt.table)
         np.save(f"{w}/qmeta.npy", qt.meta)
-        if qt.ext is not None:
-            np.save(f"{w}/qext.npy", qt.ext)
-            np.save(f"{w}/qext_id.npy", qt.ext_id)
         with open(f"{w}/meta.json", "w") as fh:
             json.dump({"total_bp": total, "n_chroms": n_chroms,
                        "bsearch_iters": index.bsearch_iters}, fh)

@@ -90,7 +90,11 @@ def _full_read_mm(gpacked: jnp.ndarray, nbases: int, query: jnp.ndarray,
     """Hamming(query[:l], genome[start:start+l]) per row (SPEC.md §6)."""
     B, Lp = query.shape
     pos = jnp.arange(Lp, dtype=jnp.int32)[None, :]
-    win = gather_window(gpacked, jnp.clip(start, 0, nbases - Lp), Lp)
+    # uint32 bound: a bare python int above 2^31 (whole-genome nbases)
+    # overflows JAX's weak-typed argument parsing.
+    win = gather_window(gpacked,
+                        jnp.clip(start, jnp.uint32(0),
+                                 jnp.uint32(nbases - Lp)), Lp)
     q = query.astype(jnp.int32)
     neq = ((q != win) | (q >= 4) | (win >= 4)) & (pos < lens[:, None])
     return jnp.sum(neq, axis=1).astype(jnp.int32)

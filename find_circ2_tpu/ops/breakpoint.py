@@ -59,7 +59,10 @@ def breakpoint_search(
     a = cfg.anchor_len
 
     def clamp(x, lo, hi):
-        return jnp.clip(x, lo, hi)
+        # Bounds wrapped in uint32: a bare python int above 2^31 (the
+        # upper clip bound on a whole-genome index) overflows JAX's
+        # weak-typed argument parsing.
+        return jnp.clip(x, jnp.uint32(lo), jnp.uint32(hi))
 
     # --- window gathers (word-packed, ops/packed.py) --------------------
     # Positions are uint32; keep all position arithmetic in uint32 (an

@@ -42,19 +42,26 @@ from find_circ2_tpu.models.oracle import AnchorHit, ReadCall, _sense_signal
 _G, _T, _A, _C = 2, 3, 0, 1
 
 
-def _variant_keys(q: np.ndarray, pk: int, ball: int = 1
-                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(p12, s8, mm) int64 [V] for the exact query + all variants within
-    Hamming distance `ball`, in the oracle's enumeration order
-    (1-mm: position-major, r=1..3; 2-mm: (j1, j2, r1, r2) nested loops
-    exactly as oracle.anchor_candidates)."""
-    a = q.size
-    V = 1 + 3 * a
-    u = np.tile(q.astype(np.int64), (V, 1))
+def _enum_pattern(a: int, pk: int, ball: int):
+    """Static per-(a, pk, ball) enumeration scaffolding, cached.
+
+    Returns (wp, ws, js, r, j1, j2, r1, r2, mm): place-value weights per
+    digit (prefix / suffix) and the substitution index patterns of the
+    oracle's enumeration order (1-mm: position-major, r=1..3; 2-mm:
+    (j1, j2, r1, r2) nested loops exactly as oracle.anchor_candidates)."""
+    key = (a, pk, ball)
+    pat = _ENUM_CACHE.get(key)
+    if pat is not None:
+        return pat
+    j = np.arange(a)
+    wp = np.where(j < pk, 4 ** np.clip(pk - 1 - j, 0, None),
+                  0).astype(np.int64)
+    ws = np.where(j >= pk, 4 ** np.clip(a - 1 - j, 0, a - pk - 1),
+                  0).astype(np.int64)
     js = np.repeat(np.arange(a), 3)
     r = np.tile(np.arange(1, 4), a)
-    u[1:][np.arange(3 * a), js] = (q[js].astype(np.int64) + r) % 4
     mm = np.concatenate([[0], np.ones(3 * a, np.int64)])
+    j1 = j2 = r1 = r2 = None
     if ball >= 2:
         j1, j2 = np.triu_indices(a, k=1)
         P = j1.size                                # a*(a-1)/2 pairs
@@ -62,15 +69,78 @@ def _variant_keys(q: np.ndarray, pk: int, ball: int = 1
         j2 = np.repeat(j2, 9)
         r1 = np.tile(np.repeat(np.arange(1, 4), 3), P)
         r2 = np.tile(np.tile(np.arange(1, 4), 3), P)
-        u2 = np.tile(q.astype(np.int64), (9 * P, 1))
-        rows = np.arange(9 * P)
-        u2[rows, j1] = (q[j1].astype(np.int64) + r1) % 4
-        u2[rows, j2] = (q[j2].astype(np.int64) + r2) % 4
-        u = np.concatenate([u, u2])
         mm = np.concatenate([mm, np.full(9 * P, 2, np.int64)])
-    pw_p = 4 ** np.arange(pk - 1, -1, -1, dtype=np.int64)
-    pw_s = 4 ** np.arange(a - pk - 1, -1, -1, dtype=np.int64)
-    return u[:, :pk] @ pw_p, u[:, pk:] @ pw_s, mm
+    pat = (wp, ws, js, r, j1, j2, r1, r2, mm)
+    _ENUM_CACHE[key] = pat
+    return pat
+
+
+_ENUM_CACHE: dict = {}
+
+
+def _variant_keys(q: np.ndarray, pk: int, ball: int = 1
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(p12, s8, mm) int64 [V] for the exact query + all variants within
+    Hamming distance `ball`, in the oracle's enumeration order.
+
+    Computed as weighted digit deltas off the exact key (a substitution
+    at position j moves the key by (b - q_j) * weight[j]) — O(V) instead
+    of the O(V*a) variant-matrix matmul; bit-identical output."""
+    a = q.size
+    wp, ws, js, r, j1, j2, r1, r2, mm = _enum_pattern(a, pk, ball)
+    q64 = q.astype(np.int64)
+    base_p = q64 @ wp
+    base_s = q64 @ ws
+    d = (q64[js] + r) % 4 - q64[js]
+    p12 = np.concatenate([[base_p], base_p + d * wp[js]])
+    s8 = np.concatenate([[base_s], base_s + d * ws[js]])
+    if ball >= 2:
+        d1 = (q64[j1] + r1) % 4 - q64[j1]
+        d2 = (q64[j2] + r2) % 4 - q64[j2]
+        p12 = np.concatenate([p12, base_p + d1 * wp[j1] + d2 * wp[j2]])
+        s8 = np.concatenate([s8, base_s + d1 * ws[j1] + d2 * ws[j2]])
+    return p12, s8, mm
+
+
+def _segmented_searchsorted(sv: np.ndarray, lo_b: np.ndarray,
+                            hi_b: np.ndarray, keys: np.ndarray
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-row searchsorted: (left, right) insertion points of
+    keys[i] within the sorted segment sv[lo_b[i]:hi_b[i]].
+
+    Branchless binary search over all rows at once — vectorized rounds
+    instead of one Python searchsorted per row (the pre-r5 form cost
+    ~5 ms per 2-mm rescue read, 91% of end-to-end pipeline wall at r4;
+    see BENCH_r04 stage table). Two tricks keep the vector work near the
+    information-theoretic minimum: (a) on integer keys right_insertion(k)
+    == left_insertion(k+1), so ONE combined program computes both
+    bounds; (b) rows that converge (prefix buckets average ~4 entries;
+    only repeat-heavy buckets need many rounds) are compacted out of the
+    active set, so late rounds touch only the few large segments."""
+    K = keys.size
+    lo = np.tile(lo_b.astype(np.int64), 2)
+    hi_a = np.tile(hi_b.astype(np.int64), 2)
+    k_a = np.concatenate([keys, keys + 1])
+    act = np.flatnonzero(lo < hi_a)
+    lo_a = lo[act]
+    hi_a = hi_a[act]
+    k_a = k_a[act]
+    while act.size:
+        # Active rows have lo < hi <= sv.size, so mid is in-bounds.
+        mid = (lo_a + hi_a) >> 1
+        go = sv[mid] < k_a
+        lo_a = np.where(go, mid + 1, lo_a)
+        hi_a = np.where(go, hi_a, mid)
+        live = lo_a < hi_a
+        n_live = int(live.sum())
+        if n_live != act.size:
+            lo[act] = lo_a
+            keep = np.flatnonzero(live)
+            act = act[keep]
+            lo_a = lo_a[keep]
+            hi_a = hi_a[keep]
+            k_a = k_a[keep]
+    return lo[:K], lo[K:]
 
 
 def anchor_candidates_fast(genome: Genome, index: SeedIndex,
@@ -98,15 +168,7 @@ def anchor_candidates_fast(genome: Genome, index: SeedIndex,
     sv = index.suffix_vals
     lo_b = offs[p12].astype(np.int64)
     hi_b = offs[p12 + 1].astype(np.int64)
-    lo = np.empty(2 * V, np.int64)
-    hi = np.empty(2 * V, np.int64)
-    for i in range(2 * V):
-        l, h = lo_b[i], hi_b[i]
-        if l == h:
-            lo[i] = hi[i] = l
-        else:
-            lo[i] = l + np.searchsorted(sv[l:h], s8[i], "left")
-            hi[i] = l + np.searchsorted(sv[l:h], s8[i], "right")
+    lo, hi = _segmented_searchsorted(sv, lo_b, hi_b, s8)
     count = hi - lo
     # Empty or repetitive-20-mer guard [FROZEN]: contributes nothing.
     valid = (count > 0) & (count <= cfg.max_bucket)
@@ -137,6 +199,166 @@ def anchor_candidates_fast(genome: Genome, index: SeedIndex,
                    for i in at_best
                    for p in index.positions[lo[i]:hi[i]])
     return hit, pairs[:cfg.max_pair_hits]
+
+
+def _variant_keys_batch(Q: np.ndarray, pk: int, ball: int = 1
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """_variant_keys over a batch of anchors Q [N, a]: returns
+    (p12 [N, V], s8 [N, V], mm [V]) — row-wise identical."""
+    _, a = Q.shape
+    wp, ws, js, r, j1, j2, r1, r2, mm = _enum_pattern(a, pk, ball)
+    Q64 = Q.astype(np.int64)
+    base_p = Q64 @ wp
+    base_s = Q64 @ ws
+    qj = Q64[:, js]
+    d = (qj + r) % 4 - qj
+    p12 = np.concatenate([base_p[:, None], base_p[:, None] + d * wp[js]],
+                         axis=1)
+    s8 = np.concatenate([base_s[:, None], base_s[:, None] + d * ws[js]],
+                        axis=1)
+    if ball >= 2:
+        q1 = Q64[:, j1]
+        q2 = Q64[:, j2]
+        d1 = (q1 + r1) % 4 - q1
+        d2 = (q2 + r2) % 4 - q2
+        p12 = np.concatenate(
+            [p12, base_p[:, None] + d1 * wp[j1] + d2 * wp[j2]], axis=1)
+        s8 = np.concatenate(
+            [s8, base_s[:, None] + d1 * ws[j1] + d2 * ws[j2]], axis=1)
+    return p12, s8, mm
+
+
+def anchor_candidates_batch(genome: Genome, index: SeedIndex,
+                            Q: np.ndarray, cfg: Config, ball: int = 1):
+    """Batched anchor_candidates_fast over anchors Q (uint8 [N, a]).
+
+    Returns (hits: list[AnchorHit], pairs: list[list[(strand, pos)]]),
+    row-wise identical to N separate anchor_candidates_fast calls —
+    ONE vectorized segmented binary search over all N * 2V variant keys
+    instead of N python calls (the r5 batched-rescue path;
+    tests/test_multihit.py asserts element-wise equality)."""
+    N, a = Q.shape
+    pk = cfg.prefix_len
+    hits: list = [None] * N
+    pairs_out: list = [None] * N
+    dirty = (Q >= 4).any(axis=1)
+    for i in np.flatnonzero(dirty):
+        hits[i] = AnchorHit(aligned=False)
+        pairs_out[i] = []
+    ok = np.flatnonzero(~dirty)
+    if ok.size == 0:
+        return hits, pairs_out
+    Qo = Q[ok]
+    RC = REVCOMP_LUT[Qo[:, ::-1]]
+    p12f, s8f, mm1 = _variant_keys_batch(Qo, pk, ball)
+    p12r, s8r, _ = _variant_keys_batch(RC, pk, ball)
+    p12 = np.concatenate([p12f, p12r], axis=1)          # [M, 2V]
+    s8 = np.concatenate([s8f, s8r], axis=1)
+    mm = np.concatenate([mm1, mm1])
+    V = mm1.size
+    strand = np.repeat(np.arange(2, dtype=np.int64), V)
+
+    offs = index.offsets
+    sv = index.suffix_vals
+    fp = p12.reshape(-1)
+    lo, hi = _segmented_searchsorted(sv, offs[fp].astype(np.int64),
+                                     offs[fp + 1].astype(np.int64),
+                                     s8.reshape(-1))
+    M, W = p12.shape
+    lo = lo.reshape(M, W)
+    hi = hi.reshape(M, W)
+    count = hi - lo
+    valid = (count > 0) & (count <= cfg.max_bucket)
+    positions = index.positions
+    pmax = max(0, positions.size - 1)
+    first = np.where(valid,
+                     positions[np.minimum(lo, pmax)].astype(np.int64), 0)
+    key = ((mm[None, :] * 2 + strand[None, :]) << np.int64(33)) | first
+    key = np.where(valid, key, np.int64(1) << 62)
+    b = np.argmin(key, axis=1)
+    rows = np.arange(M)
+    best_mm = mm[b]
+    sel_best = valid & (mm[None, :] == best_mm[:, None])
+    n_best = (count * sel_best).sum(axis=1)
+    others = valid.copy()
+    others[rows, b] = False
+    mm_o = np.where(others, mm[None, :], np.int64(1) << 40)
+    second_mm = np.where(n_best > 1, best_mm,
+                         np.where(others.any(axis=1), mm_o.min(axis=1),
+                                  a + 1))
+    qual = np.where(n_best > 1, 0,
+                    np.minimum(40, 10 * (second_mm - best_mm)))
+    has = valid.any(axis=1)
+    aligned = (best_mm <= max(cfg.max_anchor_mm, ball)) & has
+    K = cfg.max_pair_hits
+    for m, i in enumerate(ok):
+        if not has[m]:
+            hits[i] = AnchorHit(aligned=False)
+            pairs_out[i] = []
+            continue
+        hits[i] = AnchorHit(
+            aligned=bool(aligned[m]), pos=int(first[m, b[m]]),
+            strand=int(strand[b[m]]), mm=int(best_mm[m]),
+            n_best=int(n_best[m]), second_mm=int(second_mm[m]),
+            qual=int(qual[m]))
+        prs = sorted((int(strand[v]), int(p))
+                     for v in np.flatnonzero(sel_best[m])
+                     for p in positions[lo[m, v]:hi[m, v]])
+        pairs_out[i] = prs[:K]
+    return hits, pairs_out
+
+
+def call_reads_multi_batch(genome: Genome, index: SeedIndex, items,
+                           cfg: Config, prefilter: bool = True
+                           ) -> list[ReadCall]:
+    """Batched call_read_multi over `items` = [(name, seq)] — element-
+    wise identical output, but candidate searches (the dominant cost,
+    91% of r4 pipeline wall) run as at most two vectorized programs:
+    one ball-1 search over both anchors of every read, one ball-2 search
+    over the mate-gated rescue subset [FROZEN v4 semantics]."""
+    a = cfg.anchor_len
+    out: list = [None] * len(items)
+    work = []
+    for i, (name, seq) in enumerate(items):
+        l = len(seq)
+        if l < 2 * a:
+            out[i] = ReadCall(name, seq, ST_TOO_SHORT)
+        elif l > cfg.max_read_len:
+            out[i] = ReadCall(name, seq, ST_TOO_LONG)
+        else:
+            work.append(i)
+    if not work:
+        return out
+    codes_list = [seq_to_codes(items[i][1]) for i in work]
+    QA = np.stack([c[:a] for c in codes_list])
+    QB = np.stack([c[-a:] for c in codes_list])
+    N = len(work)
+    hits, cands = anchor_candidates_batch(
+        genome, index, np.concatenate([QA, QB]), cfg)
+    hitsA, hitsB = hits[:N], hits[N:]
+    candsA, candsB = cands[:N], cands[N:]
+    if cfg.rescue_anchor_mm >= 2:
+        needA = [m for m in range(N)
+                 if not hitsA[m].aligned and hitsB[m].aligned]
+        needB = [m for m in range(N)
+                 if not hitsB[m].aligned and hitsA[m].aligned]
+        if needA or needB:
+            h2, c2 = anchor_candidates_batch(
+                genome, index, np.concatenate([QA[needA], QB[needB]]),
+                cfg, ball=2)
+            for k, m in enumerate(needA):
+                hitsA[m], candsA[m] = h2[k], c2[k]
+            for k, m in enumerate(needB):
+                hitsB[m] = h2[len(needA) + k]
+                candsB[m] = c2[len(needA) + k]
+    for m, i in enumerate(work):
+        name, seq = items[i]
+        codes = codes_list[m]
+        out[i] = _finish_call(genome, name, seq, codes,
+                              REVCOMP_LUT[codes[::-1]], hitsA[m],
+                              candsA[m], hitsB[m], candsB[m], cfg,
+                              prefilter)
+    return out
 
 
 def _window_mm(G: np.ndarray, starts: np.ndarray, query: np.ndarray
@@ -294,6 +516,17 @@ def call_read_multi(genome: Genome, index: SeedIndex, name: str,
             hitB, candsB = anchor_candidates_fast(genome, index,
                                                   codes[-a:], cfg,
                                                   ball=2)
+    return _finish_call(genome, name, seq, codes, codes_rc, hitA, candsA,
+                        hitB, candsB, cfg, prefilter)
+
+
+def _finish_call(genome: Genome, name: str, seq: str, codes, codes_rc,
+                 hitA: AnchorHit, candsA, hitB: AnchorHit, candsB,
+                 cfg: Config, prefilter: bool) -> ReadCall:
+    """Shared tail of call_read_multi after anchor candidate generation:
+    prefilter, status chain, pair exploration, junction assembly."""
+    l = codes.size
+    a = cfg.anchor_len
     if prefilter and _prefiltered(genome, codes, codes_rc, candsA,
                                   candsB, cfg):
         return ReadCall(name, seq, ST_PREFILTERED)

@@ -351,9 +351,14 @@ def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
         align_strand=s.astype(jnp.int32),
         edits=bp["edits"], n_bp=bp["n_bp"], overlap=bp["overlap"],
         qual_left=qual_left, qual_right=qual_right,
-        # SPEC §2b: reads with anchor best-hit ties are re-called on the
-        # host multi-hit slow path (n_best > 1 implies the anchor aligned).
-        multi=((hits_a.n_best > 1) | (hits_b.n_best > 1)).astype(jnp.int32),
+        # Bit 0 (SPEC §2b): anchor best-hit tie -> host multi-hit re-call
+        # (n_best > 1 implies the anchor aligned). Bit 1: rescuable —
+        # EXACTLY one anchor unaligned, the §2 2-mm rescue's mate gate;
+        # both-anchors-failed reads (junk) keep their device status
+        # without a host round trip (the host mate gate would reject
+        # them after a full ball-2 re-enumeration anyway).
+        multi=(((hits_a.n_best > 1) | (hits_b.n_best > 1)).astype(jnp.int32)
+               | ((hits_a.aligned ^ hits_b.aligned).astype(jnp.int32) << 1)),
         signal=bp["signal"],
     )
 
@@ -438,21 +443,26 @@ def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
             batch_calls: list[ReadCall] = []
             route_slots: list[int] = []
             routed: list[tuple[str, str]] = []
+            rescue_slots: list[int] = []
+            rescued: list[tuple[str, str]] = []
             for i, (name, seq) in enumerate(records):
                 status = int(res["status"][i])
                 if (slowpath is not None and cfg.rescue_anchor_mm >= 2
-                        and status in (ST_UNALIGNED_A, ST_UNALIGNED_B)):
+                        and status in (ST_UNALIGNED_A, ST_UNALIGNED_B)
+                        and res["multi"][i] & 2):
                     # §2 2-mm anchor rescue [FROZEN v4]: host re-call
                     # with the widened ball (precedence over explore —
                     # the device program knows only the <=1-mm ball).
-                    from find_circ2_tpu.models.multihit import \
-                        call_read_multi
-                    with timed("slowpath_rescue"):
-                        batch_calls.append(call_read_multi(
-                            slowpath[0], slowpath[1], name, seq, cfg,
-                            prefilter))
+                    # Gated on the device rescuable bit: only reads
+                    # whose MATE anchor aligned can pass the host's
+                    # mate gate, so both-failed reads skip the trip.
+                    # Batched: one vectorized host program per batch.
+                    rescue_slots.append(len(batch_calls))
+                    rescued.append((name, seq))
+                    batch_calls.append(None)
                     continue
-                if (slowpath is not None or explore) and res["multi"][i] \
+                if (slowpath is not None or explore) \
+                        and res["multi"][i] & 1 \
                         and status != ST_PREFILTERED:
                     # SPEC §2b: anchor best-hit tie -> pair exploration.
                     if explorer is not None:
@@ -468,6 +478,15 @@ def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
                             prefilter))
                     continue
                 batch_calls.append(call_from_row(res, i, name, seq))
+            if rescued:
+                from find_circ2_tpu.models.multihit import \
+                    call_reads_multi_batch
+                with timed("slowpath_rescue"):
+                    calls = call_reads_multi_batch(
+                        slowpath[0], slowpath[1], rescued, cfg,
+                        prefilter)
+                for slot, call in zip(rescue_slots, calls):
+                    batch_calls[slot] = call
             handle = None
             if routed:
                 with timed("explore_dispatch"):

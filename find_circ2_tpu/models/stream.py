@@ -165,13 +165,18 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
             # re-call on the host slow path, which widens the failing
             # anchor's ball when the mate aligned (oracle-mirrored).
             # Takes precedence over explore routing: the device explore
-            # program knows only the <=1-mm ball.
+            # program knows only the <=1-mm ball. Gated on the device
+            # rescuable bit (multi bit 1): only reads with EXACTLY one
+            # failed anchor can pass the host mate gate, so junk with
+            # both anchors unaligned keeps its device status free.
             if slowpath is not None and cfg.rescue_anchor_mm >= 2:
-                rescue = np.isin(status, (ST_UNALIGNED_A, ST_UNALIGNED_B))
+                rescue = (np.isin(status,
+                                  (ST_UNALIGNED_A, ST_UNALIGNED_B))
+                          & ((res["multi"][:sel.size] & 2) != 0))
             else:
                 rescue = np.zeros(sel.size, bool)
             if slowpath is not None or explorer is not None:
-                route = (res["multi"][:sel.size] != 0) \
+                route = ((res["multi"][:sel.size] & 1) != 0) \
                     & (status != ST_PREFILTERED) & ~rescue
             else:
                 route = np.zeros(sel.size, bool)
@@ -235,12 +240,17 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
                 batch_calls.append(call_read_multi(
                     slowpath[0], slowpath[1], name, seq, cfg,
                     prefilter))
-        for i in np.nonzero(rescue)[0]:
-            from find_circ2_tpu.models.multihit import call_read_multi
+        ridx = np.nonzero(rescue)[0]
+        if ridx.size:
+            # ONE vectorized host program for the whole batch's rescued
+            # reads (models/multihit.call_reads_multi_batch) — the r4
+            # per-read loop cost ~5 ms/read, 91% of pipeline wall.
+            from find_circ2_tpu.models.multihit import \
+                call_reads_multi_batch
             with timed("slowpath_rescue"):
-                batch_calls.append(call_read_multi(
-                    slowpath[0], slowpath[1], read_name(i),
-                    read_seq(i), cfg, prefilter))
+                items = [(read_name(i), read_seq(i)) for i in ridx]
+                batch_calls.extend(call_reads_multi_batch(
+                    slowpath[0], slowpath[1], items, cfg, prefilter))
         handle = None
         if routed:
             with timed("explore_dispatch"):

@@ -124,3 +124,41 @@ def test_fast_multihit_on_decoy_case():
     oracle = call_read(genome, index, "r", read_seq, CFG)
     fast = call_read_multi(genome, index, "r", read_seq, CFG)
     assert fast == oracle
+
+
+def test_batched_multihit_equals_per_read():
+    """call_reads_multi_batch (the r5 batched rescue path) is element-
+    wise identical to per-read call_read_multi on a library mixing
+    clean, erroneous (2-mm rescue), multi-hit, junction-spanning,
+    too-short and dirty (N-containing) reads."""
+    from find_circ2_tpu.models.multihit import (call_read_multi,
+                                                call_reads_multi_batch)
+    from find_circ2_tpu.utils.simulate import rnase_r_library
+
+    sim = rnase_r_library(seed=29, chrom_lengths={"chrR": 400_000},
+                          n_circ=30, n_linear=6, depth_mean=3.0,
+                          repeat_frac=0.35, cfg=CFG)
+    index = build_index(sim.genome, CFG)
+    rng = np.random.default_rng(5)
+    reads = list(sim.reads)
+    # Inject 2 errors into one anchor of some reads (rescue workload),
+    # an N into others (dirty-anchor chain), plus one too-short read.
+    extra = []
+    for i, (name, seq) in enumerate(reads[:60]):
+        s = list(seq)
+        if i % 3 == 0 and len(s) >= 40:
+            j1, j2 = rng.choice(20, 2, replace=False)
+            for j in (int(j1), int(j2)):
+                s[j] = "ACGT"[("ACGT".index(s[j]) + 1) % 4]
+            extra.append((name + "_2mm", "".join(s)))
+        elif i % 3 == 1:
+            s[5] = "N"
+            extra.append((name + "_N", "".join(s)))
+    extra.append(("short", "ACGTACGT"))
+    reads = reads[:120] + extra
+    single = [call_read_multi(sim.genome, index, nm, sq, CFG)
+              for nm, sq in reads]
+    batch = call_reads_multi_batch(sim.genome, index, reads, CFG)
+    assert len(single) == len(batch)
+    for s, b in zip(single, batch):
+        assert s == b, (s, b)

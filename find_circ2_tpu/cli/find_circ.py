@@ -242,7 +242,12 @@ def run(args) -> int:
                 jr = journal
                 if journal is not None and len(args.input) > 1:
                     from find_circ2_tpu.utils.journal import RunJournal
-                    jr = RunJournal(f"{journal.path}.{fi}")
+                    # Per-file journals keep the sharding-pinned meta
+                    # header (as the device branch does): resuming under
+                    # a different sharding must be rejected, not
+                    # silently replayed.
+                    jr = RunJournal(f"{journal.path}.{fi}",
+                                    meta=journal.meta)
                 run_fastq(None, f, agg, cfg, prefilter, batch_size=bs,
                           times=times, slowpath=(genome, index),
                           journal=jr, revcomp=bool(args.pe and fi % 2),

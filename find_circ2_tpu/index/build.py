@@ -231,7 +231,14 @@ def save_index(path, genome: Genome, index: SeedIndex) -> None:
     skip the cuckoo construction."""
     extra = {}
     if index.qtable is not None:
-        extra = {"qtable": index.qtable.table, "qmeta": index.qtable.meta}
+        from find_circ2_tpu.index.hashtable import TABLE_FORMAT
+        # qmeta carries the table-format generation as a 4th element:
+        # a table built under a different mix_hash would silently miss
+        # every K1 lookup (see hashtable.TABLE_FORMAT).
+        qmeta = np.concatenate([
+            np.asarray(index.qtable.meta, np.int32),
+            np.asarray([TABLE_FORMAT], np.int32)])
+        extra = {"qtable": index.qtable.table, "qmeta": qmeta}
     np.savez_compressed(
         path,
         codes=genome.codes,
@@ -258,8 +265,19 @@ def load_index(path) -> tuple[Genome, SeedIndex]:
     a, pk, iters = (int(x) for x in z["meta"])
     qtable = None
     if "qtable" in z:
-        from find_circ2_tpu.index.hashtable import QueryTable
-        qtable = QueryTable(table=z["qtable"], meta=z["qmeta"])
+        from find_circ2_tpu.index.hashtable import QueryTable, TABLE_FORMAT
+        qmeta = z["qmeta"]
+        version = int(qmeta[3]) if qmeta.size >= 4 else 1
+        if version == TABLE_FORMAT:
+            qtable = QueryTable(table=z["qtable"], meta=qmeta[:3])
+        else:
+            # A stale-format table hashes to the wrong buckets and
+            # misses every lookup; drop it (rebuilt lazily by
+            # DeviceIndex.build) instead of silently misbehaving.
+            import sys
+            print(f"load_index: dropping saved query table with format "
+                  f"{version} (current {TABLE_FORMAT}; the hash mixer "
+                  f"changed) — it will be rebuilt", file=sys.stderr)
     index = SeedIndex(anchor_len=a, prefix_len=pk,
                       positions=z["positions"],
                       suffix_vals=z["suffix_vals"],

@@ -44,6 +44,15 @@ import numpy as np
 from find_circ2_tpu.config import Config
 from find_circ2_tpu.index.build import SeedIndex
 
+# On-disk table artifact format generation. Bump whenever the slot
+# layout OR the hash mixer changes: a table built under a different
+# mix_hash hashes keys to different buckets, so every device K1 lookup
+# would silently miss (with the default 2-mm rescue, every read then
+# detours to the host slow path; with rescue off, output is silently
+# wrong). v2 = the r4 salted-multiplier mixer (see mix_hash below).
+# Persisted as a 4th element after (salt0, salt1, n_buckets) in saved
+# qmeta arrays; loaders must reject or rebuild on mismatch.
+TABLE_FORMAT = 2
 SLOTS = 2          # slots per bucket ((2,2)-cuckoo threshold ~0.9; the
                    # parallel random-walk insert livelocks with 1-slot
                    # buckets — eviction cycles synchronize — but

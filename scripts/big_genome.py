@@ -130,8 +130,17 @@ def build(args):
             f"{index.positions.size:,} positions")
 
     # --- stage 3: query table -------------------------------------------
-    if not (have("qtable", "qmeta")
-            and os.path.exists(f"{w}/meta.json")):
+    from find_circ2_tpu.index.hashtable import TABLE_FORMAT
+    cached = (have("qtable", "qmeta")
+              and os.path.exists(f"{w}/meta.json"))
+    if cached:
+        qm = np.load(f"{w}/qmeta.npy")
+        qv = int(qm[3]) if qm.size >= 4 else 1
+        if qv != TABLE_FORMAT:
+            log(f"cached query table has format {qv} != "
+                f"{TABLE_FORMAT} (hash mixer changed): REBUILDING")
+            cached = False
+    if not cached:
         log("building query table (canonical k-mers + cuckoo)...")
         t = time.time()
         # extras=False: §2b extras rows at this scale would be ~29 GiB
@@ -140,7 +149,9 @@ def build(args):
         # the r3 run died silently for 4 h in exactly this stage.
         qt = build_query_table(index, cfg, extras=False, log=log)
         np.save(f"{w}/qtable.npy", qt.table)
-        np.save(f"{w}/qmeta.npy", qt.meta)
+        np.save(f"{w}/qmeta.npy", np.concatenate(
+            [np.asarray(qt.meta, np.int32),
+             np.asarray([TABLE_FORMAT], np.int32)]))
         with open(f"{w}/meta.json", "w") as fh:
             json.dump({"total_bp": total, "n_chroms": n_chroms,
                        "bsearch_iters": index.bsearch_iters}, fh)
@@ -164,6 +175,15 @@ def load(args):
         chrom_offsets=np.load(f"{w}/chrom_offsets.npy"),
         chrom_lengths=np.load(f"{w}/chrom_lengths.npy"),
     )
+    from find_circ2_tpu.index.hashtable import TABLE_FORMAT
+    qmeta = np.load(f"{w}/qmeta.npy")
+    qv = int(qmeta[3]) if qmeta.size >= 4 else 1
+    if qv != TABLE_FORMAT:
+        raise SystemExit(
+            f"{w}/qmeta.npy records table format {qv}, current code is "
+            f"{TABLE_FORMAT}: the hash mixer changed since this table "
+            f"was built, so every lookup would miss. Re-run "
+            f"`big_genome.py build` (stage 3 rebuilds automatically).")
     index = SeedIndex(
         anchor_len=20, prefix_len=12,
         positions=np.load(f"{w}/positions.npy", mmap_mode="r"),
@@ -172,7 +192,7 @@ def load(args):
         bsearch_iters=meta["bsearch_iters"],
         qtable=QueryTable(
             table=np.load(f"{w}/qtable.npy", mmap_mode="r"),
-            meta=np.load(f"{w}/qmeta.npy"),
+            meta=qmeta[:3],
             ext=(np.load(f"{w}/qext.npy", mmap_mode="r")
                  if os.path.exists(f"{w}/qext.npy") else None),
             ext_id=(np.load(f"{w}/qext_id.npy", mmap_mode="r")

@@ -557,6 +557,19 @@ def main(argv=None) -> int:
         "gather_issue_bound_pct": round(100 * head["rps"]
                                         / head["roofline_issue"], 1),
     }
+    # Output sanity guard (VERDICT r4 next #8): a reads/s figure above
+    # the measured attainable gather-issue bound means the timing is
+    # broken (r4's whole-genome bench recorded 44x the bound because
+    # re-dispatching one device-resident batch defeated
+    # block_until_ready on the tunneled platform) — or K1's row count
+    # changed and roofline_reads_per_s needs updating. Either way the
+    # number must not be recorded as clean.
+    if head["rps"] > 1.05 * head["roofline_issue"]:
+        out["suspect"] = True
+        out["suspect_reason"] = (
+            f"reads/s {head['rps']:.0f} exceeds the measured "
+            f"gather-issue bound {head['roofline_issue']:.0f} "
+            "(DESIGN.md gather-rate table); timing or bound is wrong")
     if not args.kernel_only:
         # The honest second figure (VERDICT r2 weak #1): the FULL
         # pipeline — streaming + §2b multi-hit + aggregation + frozen

@@ -139,12 +139,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--journal", default=None,
                    help="JSONL resume journal: completed batches replay "
                    "from disk on rerun")
+    p.add_argument("--platform", choices=("auto", "cpu"), default="auto",
+                   help="cpu: force the XLA CPU backend (virtual-device "
+                   "meshes via XLA_FLAGS=--xla_force_host_platform_"
+                   "device_count=N; the env var JAX_PLATFORMS alone is "
+                   "overridden by TPU plugins)")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timings to stderr")
     return p
 
 
 def run(args) -> int:
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     nproc = args.nproc or 1
     if nproc > 1:
         # Multi-host plumbing (SURVEY.md §7 step 6, BASELINE.json:11):
@@ -168,7 +176,13 @@ def run(args) -> int:
                  prefix_len=min(12, args.anchor - 8),
                  stranded=args.stranded, batch_size=args.batch_size)
     if args.index:
-        genome, index = load_index(args.index)
+        if os.path.isdir(args.index):
+            # Whole-genome raw-.npy artifact directory (mmap'd; see
+            # index.build.load_index_dir) — the configs[4]/[5] shape.
+            from find_circ2_tpu.index.build import load_index_dir
+            genome, index = load_index_dir(args.index)
+        else:
+            genome, index = load_index(args.index)
         if index.anchor_len != cfg.anchor_len:
             raise SystemExit(f"index was built with -a {index.anchor_len}, "
                              f"run requested -a {cfg.anchor_len}")

@@ -254,6 +254,52 @@ def save_index(path, genome: Genome, index: SeedIndex) -> None:
     )
 
 
+def load_index_dir(path) -> tuple[Genome, SeedIndex]:
+    """Load the raw-.npy artifact DIRECTORY layout written by
+    scripts/big_genome.py build (whole-genome scale: codes/
+    chrom_offsets/chrom_lengths/positions/suffix_vals/offsets .npy +
+    meta.json + optional qtable/qmeta .npy).
+
+    Arrays are memory-mapped — a 3.3 Gbp genome plus its 8.8 GiB query
+    table "loads" in milliseconds and pages on demand — so the CLI can
+    run directly against whole-genome artifacts (`find_circ -x DIR`),
+    the configs[4]/[5] deployment shape."""
+    import json as _json
+    import os as _os
+    meta = _json.load(open(_os.path.join(path, "meta.json")))
+    n_chroms = int(meta["n_chroms"])
+    names = meta.get("chrom_names") \
+        or [f"chr{i + 1}" for i in range(n_chroms)]
+
+    def arr(name, mmap=True):
+        return np.load(_os.path.join(path, f"{name}.npy"),
+                       mmap_mode="r" if mmap else None)
+
+    genome = Genome(codes=arr("codes"), chrom_names=names,
+                    chrom_offsets=arr("chrom_offsets", mmap=False),
+                    chrom_lengths=arr("chrom_lengths", mmap=False))
+    qtable = None
+    if _os.path.exists(_os.path.join(path, "qtable.npy")):
+        from find_circ2_tpu.index.hashtable import (QueryTable,
+                                                    TABLE_FORMAT)
+        qmeta = arr("qmeta", mmap=False)
+        version = int(qmeta[3]) if qmeta.size >= 4 else 1
+        if version != TABLE_FORMAT:
+            raise ValueError(
+                f"{path}/qmeta.npy records table format {version}, "
+                f"current code is {TABLE_FORMAT}: the hash mixer "
+                f"changed since this table was built — rebuild with "
+                f"big_genome.py build")
+        qtable = QueryTable(table=arr("qtable"), meta=qmeta[:3])
+    index = SeedIndex(
+        anchor_len=int(meta.get("anchor_len", 20)),
+        prefix_len=int(meta.get("prefix_len", 12)),
+        positions=arr("positions"), suffix_vals=arr("suffix_vals"),
+        offsets=arr("offsets", mmap=False),
+        bsearch_iters=int(meta["bsearch_iters"]), qtable=qtable)
+    return genome, index
+
+
 def load_index(path) -> tuple[Genome, SeedIndex]:
     z = np.load(path, allow_pickle=False)
     genome = Genome(

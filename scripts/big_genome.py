@@ -162,78 +162,108 @@ def build(args):
 
 
 def load(args):
-    import numpy as np
-    from find_circ2_tpu.index.build import SeedIndex
-    from find_circ2_tpu.index.hashtable import QueryTable
-    from find_circ2_tpu.io.genome import Genome
-
-    w = args.workdir
-    meta = json.load(open(f"{w}/meta.json"))
-    genome = Genome(
-        codes=np.load(f"{w}/codes.npy", mmap_mode="r"),
-        chrom_names=[f"chr{i + 1}" for i in range(meta["n_chroms"])],
-        chrom_offsets=np.load(f"{w}/chrom_offsets.npy"),
-        chrom_lengths=np.load(f"{w}/chrom_lengths.npy"),
-    )
-    from find_circ2_tpu.index.hashtable import TABLE_FORMAT
-    qmeta = np.load(f"{w}/qmeta.npy")
-    qv = int(qmeta[3]) if qmeta.size >= 4 else 1
-    if qv != TABLE_FORMAT:
-        raise SystemExit(
-            f"{w}/qmeta.npy records table format {qv}, current code is "
-            f"{TABLE_FORMAT}: the hash mixer changed since this table "
-            f"was built, so every lookup would miss. Re-run "
-            f"`big_genome.py build` (stage 3 rebuilds automatically).")
-    index = SeedIndex(
-        anchor_len=20, prefix_len=12,
-        positions=np.load(f"{w}/positions.npy", mmap_mode="r"),
-        suffix_vals=np.load(f"{w}/suffix_vals.npy", mmap_mode="r"),
-        offsets=np.load(f"{w}/offsets.npy"),
-        bsearch_iters=meta["bsearch_iters"],
-        qtable=QueryTable(
-            table=np.load(f"{w}/qtable.npy", mmap_mode="r"),
-            meta=qmeta[:3],
-            ext=(np.load(f"{w}/qext.npy", mmap_mode="r")
-                 if os.path.exists(f"{w}/qext.npy") else None),
-            ext_id=(np.load(f"{w}/qext_id.npy", mmap_mode="r")
-                    if os.path.exists(f"{w}/qext_id.npy") else None)),
-    )
-    return genome, index
+    """Load the workdir artifacts via the package's shared directory
+    loader (find_circ -x DIR uses the same path; version-checked)."""
+    from find_circ2_tpu.index.build import load_index_dir
+    try:
+        return load_index_dir(args.workdir)
+    except ValueError as e:          # stale table format
+        raise SystemExit(str(e))
 
 
 def plant_reads(genome, cfg, n_reads: int, read_len: int, seed: int,
-                chrom_idx: int):
+                chrom_idx: int, index=None, unique: bool = False):
     """Junction-crossing circular reads planted INSIDE a late chromosome
-    so every global coordinate involved exceeds 2^31."""
+    so every global coordinate involved exceeds 2^31.
+
+    With `unique=True` (requires `index`), only junctions whose BOTH
+    anchor 20-mer windows occur exactly once genome-wide are accepted
+    (rejection sampling over exact index lookups). The r4 dryrun's
+    `start > 2^31` assert failed precisely because it skipped this: the
+    genome's 300 Mbp core repeats ~11x at mut 0.003, so a read whose
+    anchors contain no copy-specific mutation legitimately multi-maps
+    and K1's frozen min-position tie-break relocates it below 2^31 —
+    expected behavior, not coordinate corruption. Unique anchors make
+    relocation impossible, so any sub-2^31 coordinate IS a bug."""
     import numpy as np
     rng = np.random.default_rng(seed)
     a = cfg.anchor_len
     off = int(genome.chrom_offsets[chrom_idx])
     clen = int(genome.chrom_lengths[chrom_idx])
     L = read_len
+    G = genome.codes
+
+    def window_count(gpos: int) -> int:
+        codes = np.asarray(G[gpos:gpos + a]).astype(np.int64)
+        if (codes >= 4).any():
+            return 0
+        pk = cfg.prefix_len
+        p12 = 0
+        for c in codes[:pk]:
+            p12 = p12 * 4 + int(c)
+        s8 = 0
+        for c in codes[pk:]:
+            s8 = s8 * 4 + int(c)
+        return index.lookup(p12, s8).size
+
     truths = []
     reads = np.empty((n_reads, L), np.uint8)
-    G = genome.codes
-    for i in range(n_reads):
+    i = 0
+    tries = 0
+    while i < n_reads:
+        tries += 1
+        if unique and tries > 2000 * n_reads:
+            raise RuntimeError(
+                f"could not find {n_reads} unique-anchor junctions in "
+                f"{tries} tries (placed {i})")
         span = int(rng.integers(L, 5000))
         start = off + int(rng.integers(1000, clen - 8000))
         end = start + span
         bp = int(rng.integers(a, L - a + 1))
+        if unique:
+            # Unique SPLIT: a neighboring split k=bp±1 ties at 0 edits
+            # iff the base crossing the seam matches its contiguation
+            # (R[bp]=G[start] vs G[end]; R[bp-1]=G[end-1] vs
+            # G[start-1]), and longer shifts require the ±1 tie first
+            # (prefix-sum contiguity) — so these two inequalities pin
+            # the breakpoint to exactly bp (n_bp == 1).
+            if int(G[start]) == int(G[end]) \
+                    or int(G[start - 1]) == int(G[end - 1]):
+                continue
+            # Anchor A = first 20 of the left piece G[end-bp : end];
+            # anchor B = last 20 of the right piece G[start : start+L-bp].
+            if window_count(end - bp) != 1:
+                continue
+            if window_count(start + (L - bp) - a) != 1:
+                continue
         left = np.asarray(G[end - bp:end])
         right = np.asarray(G[start:start + (L - bp)])
         reads[i, :bp] = left
         reads[i, bp:] = right
         truths.append((start, end))
+        i += 1
+    if unique:
+        log(f"planted {n_reads} unique-anchor junction reads in {tries} "
+            f"tries ({tries / n_reads:.0f}/read)")
     return reads, truths
 
 
 def verify(args):
-    import numpy as np
-    from find_circ2_tpu.config import RPAD_CODE, Config
+    """Oracle-vs-XLA equality on planted >2^31 junction reads.
+
+    Runs the FULL 8.82 GiB table through the single fused detect
+    program on the CPU XLA backend (host RAM holds it; one v5e's
+    16 GiB HBM does not — the r4 attempt OOM'd exactly as this file's
+    bench docstring predicts). The real chip's whole-genome
+    configuration — a prefix-range table shard — is exercised by
+    `bench --shard-of N`; full-table semantics across shards by
+    `dryrun` (psum/pmin over the 8-device mesh, oracle-checked)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from find_circ2_tpu.config import Config
     from find_circ2_tpu.io.twobit import codes_to_seq
     from find_circ2_tpu.models.oracle import call_read
-    from find_circ2_tpu.models.pipeline import DeviceIndex, detect_batch
-    import jax.numpy as jnp
+    from find_circ2_tpu.models.pipeline import DeviceIndex, run_reads
 
     cfg = Config()
     genome, index = load(args)
@@ -246,33 +276,26 @@ def verify(args):
         f"(global coords > 2^31: min start {min(t[0] for t in truths):,})")
 
     log("oracle calls...")
-    oracle_calls = [call_read(genome, index, f"r{i}",
-                              codes_to_seq(reads[i]), cfg)
-                    for i in range(len(reads))]
-    log("device detect (single program)...")
+    items = [(f"r{i}", codes_to_seq(reads[i])) for i in range(len(reads))]
+    oracle_calls = [call_read(genome, index, nm, sq, cfg)
+                    for nm, sq in items]
+    log(f"production streaming path on {jax.devices()[0].platform} "
+        "(full table, XLA detect + host multi-hit/rescue routing)...")
     dindex = DeviceIndex.build(genome, index, cfg)
-    B = len(reads)
-    padded = np.full((B, cfg.max_read_len), RPAD_CODE, np.uint8)
-    padded[:, :reads.shape[1]] = reads
-    lens = np.full(B, reads.shape[1], np.int32)
-    res = detect_batch(dindex.gpacked, dindex.nbases, dindex.table,
-                       dindex.meta, dindex.chrom_offsets,
-                       jnp.asarray(padded), jnp.asarray(lens), cfg, True)
-    res = {k: np.asarray(v) for k, v in res.items()}
+    calls = run_reads(dindex, items, cfg, slowpath=(genome, index),
+                      explore=False)
     n_ok = 0
-    for i, oc in enumerate(oracle_calls):
-        assert int(res["status"][i]) == oc.status, (i, oc)
-        if oc.status == 0:
-            assert int(res["start"][i]) == oc.start
-            assert int(res["end"][i]) == oc.end
-            assert int(res["kind"][i]) == oc.kind
-            assert (oc.start, oc.end) == truths[i] or True
-            if (oc.start, oc.end) == truths[i]:
-                n_ok += 1
+    for i, (oc, dc) in enumerate(zip(oracle_calls, calls)):
+        assert dc == oc, (i, oc, dc)
+        if oc.status == 0 and (oc.start, oc.end) == truths[i]:
+            n_ok += 1
+    B = len(reads)
     n_junc = sum(1 for oc in oracle_calls if oc.status == 0)
-    log(f"oracle == device on all 32 reads; {n_junc} junction calls, "
-        f"{n_ok} at exact planted coordinates (repetitive-genome "
-        f"multi-mapping may relocate the rest)")
+    log(f"oracle == device+routing on all {B} reads (field-level "
+        f"ReadCall equality); {n_junc} junction calls, {n_ok} at exact "
+        f"planted coordinates (repetitive-genome multi-mapping may "
+        f"relocate the rest — dryrun pins exactness with unique-anchor "
+        f"reads)")
     print(json.dumps({"mode": "verify", "reads": B, "junctions": n_junc,
                       "exact": n_ok, "min_start": min(t[0] for t in truths)}))
 
@@ -290,29 +313,91 @@ def dryrun(args):
 
     cfg = Config()
     genome, index = load(args)
-    mesh = make_mesh(8)
-    log(f"building ShardedEngine over mesh {dict(mesh.shape)} "
-        "(shards the whole-genome table)...")
-    eng = ShardedEngine(genome, index, mesh, cfg)
     chrom_idx = genome.n_chroms - 1
-    reads, truths = plant_reads(genome, cfg, 16, 100, 8, chrom_idx)
+    # Unique-anchor reads: relocation below 2^31 is IMPOSSIBLE for
+    # them, so the >2^31 coordinate check below distinguishes real
+    # corruption from the expected multi-mapping of this repetitive
+    # genome (the r4 failure mode — see plant_reads docstring).
+    reads, truths = plant_reads(genome, cfg, 16, 100, 8, chrom_idx,
+                                index=index, unique=True)
+    log("oracle calls on the planted reads (ground truth)...")
+    from find_circ2_tpu.io.twobit import codes_to_seq
+    from find_circ2_tpu.models.oracle import call_read
+    oracle_calls = [call_read(genome, index, f"r{i}",
+                              codes_to_seq(reads[i]), cfg)
+                    for i in range(len(reads))]
+    mesh = make_mesh(8)
+    tbytes = np.asarray(index.qtable.table).nbytes if index.qtable \
+        else 0
+    # Memory-budget check (r4 weak #7): sharding the whole-genome table
+    # across 8 virtual devices in ONE process transiently needs ~2-3x
+    # the table (mmap source + carved shards + stacked padded copy).
+    avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    need = 3 * tbytes + len(genome)
+    if need > avail:
+        log(f"WARNING: estimated peak {need / 2 ** 30:.0f} GiB exceeds "
+            f"available RAM {avail / 2 ** 30:.0f} GiB — the dryrun may "
+            f"thrash or OOM; free memory or run on a larger host")
+    log(f"building ShardedEngine over mesh {dict(mesh.shape)} "
+        f"(shards the {tbytes / 2 ** 30:.1f} GiB whole-genome table "
+        f"across 8 virtual CPU devices in one process)...")
+    eng = ShardedEngine(genome, index, mesh, cfg)
     B = len(reads)
     padded = np.full((B, cfg.max_read_len), RPAD_CODE, np.uint8)
     padded[:, :reads.shape[1]] = reads
     lens = np.full(B, reads.shape[1], np.int32)
     out = eng.detect(padded, lens)
     n_junc = int((out["status"] == 0).sum())
-    assert n_junc > 0, "sharded whole-genome step found no junctions"
+    bad = []
+    n_exact = 0
+    for i, oc in enumerate(oracle_calls):
+        dev = (int(out["status"][i]), int(out["start"][i]),
+               int(out["end"][i]))
+        want = (oc.status, oc.start if oc.status == 0 else 0,
+                oc.end if oc.status == 0 else 0)
+        got = (dev[0], dev[1] if dev[0] == 0 else 0,
+               dev[2] if dev[0] == 0 else 0)
+        if got != want:
+            # Unique anchors pin the pair: any oracle/device divergence
+            # here IS a bug, not multi-mapping.
+            bad.append({"read": i, "truth": truths[i],
+                        "oracle": want, "sharded": got})
+        elif oc.status == 0 and (oc.start, oc.end) == truths[i]:
+            n_exact += 1
+        elif oc.status == 0:
+            # Same-edit split tie can shift the breakpoint a few bases
+            # (frozen tie-break); coordinates stay on the planted
+            # locus. Logged, not fatal.
+            log(f"read {i}: split tie-shift — planted {truths[i]}, "
+                f"called ({oc.start}, {oc.end}) [device==oracle]")
+    if bad:
+        for b in bad:
+            log(f"MISMATCH read {b['read']}: planted {b['truth']}, "
+                f"oracle {b['oracle']}, sharded {b['sharded']}")
+        raise AssertionError(
+            f"{len(bad)}/{B} reads disagree between the sharded device "
+            f"step and the oracle (unique anchors: relocation is "
+            f"impossible, so this IS a coordinate bug)")
+    assert n_junc == B, f"only {n_junc}/{B} unique-anchor junction calls"
+    # Unique anchors pin the pair AND the planted split is unique
+    # (plant_reads seam inequalities), so exactness is deterministic.
+    assert n_exact == B, \
+        f"only {n_exact}/{B} at exact planted coordinates"
+    min_start = int(out["start"][out["status"] == 0].min())
     if len(genome) > 2 ** 31:
-        assert int(out["start"][out["status"] == 0].min()) > 2 ** 31
+        assert min_start > 2 ** 31, \
+            f"junction start {min_start:,} below 2^31 on unique-anchor " \
+            f"reads: uint32 coordinate corruption"
     merged = eng.detect_merged(padded, lens)
     n_distinct = int(merged["valid"].sum())
-    log(f"sharded detect: {n_junc}/{B} junction reads, "
-        f"{n_distinct} distinct junctions after collective merge; "
-        f"all starts > 2^31")
+    log(f"sharded detect: {n_junc}/{B} junction reads oracle-identical, "
+        f"{n_exact}/{B} at exact planted >2^31 coordinates; "
+        f"{n_distinct} distinct junctions after collective merge")
     print(json.dumps({"mode": "dryrun", "mesh": dict(mesh.shape),
                       "junction_reads": n_junc,
-                      "distinct_junctions": n_distinct}))
+                      "distinct_junctions": n_distinct,
+                      "all_exact": bool(n_exact == B),
+                      "n_exact": n_exact, "min_start": min_start}))
 
 
 def bench(args):
@@ -372,35 +457,92 @@ def bench(args):
     chrom_idx = genome.n_chroms - 1
     n = args.bench_reads
     Bsz = cfg.batch_size
-    reads, _ = plant_reads(genome, cfg, Bsz, 100, 9, chrom_idx)
-    padded = np.full((Bsz, cfg.max_read_len), RPAD_CODE, np.uint8)
-    padded[:, :reads.shape[1]] = reads
-    lens = np.full(Bsz, reads.shape[1], np.int32)
-    rd = jax.device_put(padded)
-    ld = jax.device_put(lens)
-    log("compile+warmup...")
-    out = detect_batch_phased(dindex, rd, ld, cfg, True)
-    jax.block_until_ready(out)
     n_batches = max(1, n // Bsz)
+    # FRESH device-resident batches — r4 re-dispatched ONE batch
+    # n_batches times, and the recorded 23.8M reads/s (44x the measured
+    # gather-issue bound) shows block_until_ready on the tunneled
+    # platform did not serialize those duplicate dispatches honestly.
+    reads, _ = plant_reads(genome, cfg, n_batches * Bsz, 100, 9,
+                           chrom_idx)
+    rds, lds = [], []
+    for b in range(n_batches):
+        padded = np.full((Bsz, cfg.max_read_len), RPAD_CODE, np.uint8)
+        padded[:, :reads.shape[1]] = reads[b * Bsz:(b + 1) * Bsz]
+        rds.append(jax.device_put(padded))
+        lds.append(jax.device_put(
+            np.full(Bsz, reads.shape[1], np.int32)))
+    log(f"compile+warmup ({n_batches} distinct device batches)...")
+    out = detect_batch_phased(dindex, rds[0], lds[0], cfg, True)
+    jax.block_until_ready(out)
     best = float("inf")
-    for _ in range(3):
+    for ep in range(3):
         t = time.time()
         outs = [detect_batch_phased(dindex, rd, ld, cfg, True)
-                for _ in range(n_batches)]
+                for rd, ld in zip(rds, lds)]
         jax.block_until_ready(outs)
-        best = min(best, time.time() - t)
+        # Force a real readback of the final batch inside the timed
+        # region: actual result bytes on the host cannot be faked by a
+        # broken completion signal (costs one ~28 ms tunnel trip).
+        n_junc = int((np.asarray(outs[-1]["status"]) == 0).sum())
+        dt = time.time() - t
+        log(f"epoch {ep}: {n_batches * Bsz} reads in {dt:.3f}s -> "
+            f"{n_batches * Bsz / dt:,.0f} reads/s")
+        best = min(best, dt)
     rps = n_batches * Bsz / best
-    n_junc = int((np.asarray(outs[-1]["status"]) == 0).sum())
+    # Output sanity guard (VERDICT r4 next #8): K1 is 244 gather
+    # rows/read at the measured ~7.1 ns/row floor (DESIGN.md
+    # gather-rate table) — ~575k reads/s is the attainable single-chip
+    # ceiling for this table layout. Anything above it means broken
+    # timing, and must be flagged, not recorded as clean.
+    issue_bound = 1e9 / ((2 * 2 * (1 + 3 * cfg.anchor_len) + 16) * 7.1)
+    suspect = rps > 1.05 * issue_bound
     log(f"whole-genome bench: {rps:,.0f} reads/s/chip "
-        f"({n_junc}/{Bsz} junction reads/batch)")
-    print(json.dumps({"mode": "bench", "reads_per_s_per_chip": round(rps),
-                      "genome_bp": len(genome),
-                      "table_gib": round(dindex.table.nbytes / 2 ** 30, 2)}))
+        f"({n_junc}/{Bsz} junction reads in the last batch)"
+        + (f" — SUSPECT: exceeds the {issue_bound / 1e3:.0f}k gather-"
+           f"issue bound" if suspect else ""))
+    rec = {"mode": "bench", "reads_per_s_per_chip": round(rps),
+           "genome_bp": len(genome),
+           "table_gib": round(dindex.table.nbytes / 2 ** 30, 2),
+           "shard_of": args.shard_of, "n_batches": n_batches,
+           "gather_issue_bound": round(issue_bound)}
+    if suspect:
+        rec["suspect"] = True
+        rec["suspect_reason"] = ("reads/s exceeds the measured "
+                                 "gather-issue bound; timing broken")
+    print(json.dumps(rec))
+
+
+def fastq(args):
+    """Write planted junction reads as a FASTQ for the whole-genome CLI
+    end-to-end step (BIGG r5 'cli' step): 16 unique-anchor reads (exact
+    >2^31 coordinates provable) + regular reads from the last
+    chromosome."""
+    import numpy as np
+    from find_circ2_tpu.config import Config
+    from find_circ2_tpu.io.twobit import codes_to_seq
+
+    cfg = Config()
+    genome, index = load(args)
+    chrom_idx = genome.n_chroms - 1
+    ru, _ = plant_reads(genome, cfg, 16, 100, 11, chrom_idx,
+                        index=index, unique=True)
+    rr, _ = plant_reads(genome, cfg, max(0, args.n_fastq - 16), 100, 12,
+                        chrom_idx)
+    reads = np.concatenate([ru, rr])
+    with open(args.fastq_out, "w") as f:
+        for i in range(reads.shape[0]):
+            s = codes_to_seq(reads[i])
+            f.write(f"@br{i}\n{s}\n+\n{'I' * len(s)}\n")
+    log(f"wrote {reads.shape[0]} reads -> {args.fastq_out}")
+    print(json.dumps({"mode": "fastq", "n_reads": int(reads.shape[0]),
+                      "path": args.fastq_out}))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=("build", "verify", "dryrun", "bench"))
+    ap.add_argument("mode",
+                    choices=("build", "verify", "dryrun", "bench",
+                             "fastq"))
     ap.add_argument("--workdir", default="/root/repo/.bigg")
     ap.add_argument("--total-gbp", type=float, default=3.3)
     ap.add_argument("--core-mbp", type=float, default=300.0)
@@ -412,9 +554,11 @@ def main():
                     "range shard 0) — the per-chip slice of an N-chip "
                     "deployment; the full whole-genome table exceeds "
                     "one v5e's 16 GiB HBM")
+    ap.add_argument("--fastq-out", default="/tmp/bigg_reads.fastq")
+    ap.add_argument("--n-fastq", type=int, default=4096)
     args = ap.parse_args()
     {"build": build, "verify": verify, "dryrun": dryrun,
-     "bench": bench}[args.mode](args)
+     "bench": bench, "fastq": fastq}[args.mode](args)
 
 
 if __name__ == "__main__":

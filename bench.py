@@ -376,15 +376,13 @@ def bench_filter_stack(args, cfg, jax):
     import jax.numpy as jnp
     from find_circ2_tpu.config import RPAD_CODE
     from find_circ2_tpu.models.pipeline import (DeviceExplorer,
-                                                detect_batch_packed)
+                                                dispatch_packed)
     from find_circ2_tpu.ops.explore import explore_batch_packed
     t0 = time.time()
     dummy = jnp.asarray(np.full((cfg.batch_size, cfg.max_read_len),
                                 RPAD_CODE, np.uint8))
-    jax.block_until_ready(detect_batch_packed(
-        dindex.gpacked, dindex.nbases, dindex.table, dindex.meta,
-        dindex.chrom_offsets, dummy,
-        jnp.zeros(cfg.batch_size, jnp.int32), cfg, True))
+    jax.block_until_ready(dispatch_packed(
+        dindex, dummy, jnp.zeros(cfg.batch_size, jnp.int32), cfg, True))
     for b in DeviceExplorer.BUCKETS:
         jax.block_until_ready(explore_batch_packed(
             dindex.gpacked, dindex.nbases, dindex.table, dindex.meta,

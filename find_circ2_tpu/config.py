@@ -36,6 +36,13 @@ class Config:
     filter_max_edits: int = 2     # --filter: max edit distance (SPEC §5)
     # Host/device batching.
     batch_size: int = 4096        # reads per device batch
+    # K1 v4 exact-first fast path (ops/anchor_align.py
+    # exact_anchor_stats): static size of the in-program enumeration
+    # fallback slice for absent-key anchors (sequencing errors). Purely
+    # a performance knob — results are bit-identical at any value; if a
+    # batch has more unresolved anchors than slots, the whole batch
+    # transparently redoes on the classic enumeration program.
+    exact_fallback_slots: int = 1024
     # Library strandedness: None => unstranded => strandmatch "NA".
     stranded: bool = False
     # SPEC §2 2-mm anchor rescue [FROZEN v4]: an anchor with NO hit in

@@ -122,6 +122,9 @@ class QueryTable:
     meta: np.ndarray
     ext: np.ndarray | None = None
     ext_id: np.ndarray | None = None
+    # K1 v4 exact-first 1-mm aggregates (build_neighbor_table); cached
+    # here after a build so repeated DeviceIndex.build calls reuse it.
+    ntable: np.ndarray | None = None
 
     @property
     def n_buckets(self) -> int:
@@ -404,6 +407,135 @@ def _build_from_keys(p12, s8, cnt_f, pos_f, cnt_r, pos_r,
         ext_id = ext_id.reshape(T_pad, SLOTS)
     return QueryTable(table=table.reshape(T_pad, SLOTS * LANES), meta=meta,
                       ext=ext, ext_id=ext_id)
+
+
+NBR_LANES = 4      # neighbor-table lanes: S1_f, minpos1_f, S1_r, minpos1_r
+
+
+def build_neighbor_table(index: SeedIndex, cfg: Config = Config(), *,
+                         chunk: int = 1 << 23, log=None) -> np.ndarray:
+    """Precomputed 1-mm-ball aggregates per table slot — K1 v4's
+    build-time enumeration (docs/DESIGN.md "exact-first K1").
+
+    For each distinct canonical k-mer c, over its 60 Hamming-1
+    neighbors v (guard-filtered exactly as SPEC §2: a variant with
+    count > MAX_BUCKET contributes nothing):
+
+      S1_f(c)      = sum of occ(v)      — 1-mm hit count, '+' query
+      minpos1_f(c) = min first_pos of those occurrences
+      S1_r(c)      = sum of occ(rc(v))  — 1-mm hit count, '-' query
+      minpos1_r(c) = min first_pos of those
+
+    With these, an anchor whose 20-mer EXISTS in the table resolves its
+    full frozen §2 statistics (m0, n_best, strand, pos, second_mm,
+    qual) from FOUR 16-32 B row gathers instead of enumerating 61
+    variants x 2 probes — the swap trick works unchanged because the
+    _f/_r pair of canon(q) serves q and rc(q) symmetrically
+    (occ(ball1(rc c)) = occ(rc(ball1 c))). Absent-key anchors (a
+    sequencing error usually makes the 20-mer absent genome-wide) still
+    need the enumeration fallback.
+
+    Returns int32 [T_pad, SLOTS * NBR_LANES], row-aligned with
+    qt.table (same bucket index, same slot order); position lanes carry
+    uint32 bit patterns like the main table. Built FROM the clamped
+    table payloads (clamp mb+1 marks exactly the guard-excluded
+    variants, so the aggregates are exact), so no re-aggregation of the
+    genome-scale distinct-k-mer pass is needed."""
+    qt = index.qtable
+    if qt is None:
+        raise ValueError("build_neighbor_table needs a built query table")
+    a = index.anchor_len
+    pk = index.prefix_len
+    mb = cfg.max_bucket
+    tab = np.asarray(qt.table).reshape(-1, LANES)
+    occ_slots = np.flatnonzero(tab[:, 0] != EMPTY_KEY)
+    D = occ_slots.size
+    if log is not None:
+        log(f"neighbor table: {D:,} occupied slots")
+    p12 = tab[occ_slots, 0].astype(np.uint64)
+    packed = tab[occ_slots, 1]
+    sk_bits = np.uint64(2 * (a - pk))
+    c64 = (p12 << sk_bits) | (packed & S8_MASK).astype(np.uint64)
+    cnt_f = ((packed >> 16) & CNT_MASK).astype(np.int32)
+    cnt_r = ((packed >> (16 + CNT_BITS)) & CNT_MASK).astype(np.int32)
+    pos_f = tab[occ_slots, 2].view(np.uint32)
+    pos_r = tab[occ_slots, 3].view(np.uint32)
+    order = np.argsort(c64, kind="stable")
+    cs = c64[order]
+    cf_s = cnt_f[order]
+    cr_s = cnt_r[order]
+    pf_s = pos_f[order]
+    pr_s = pos_r[order]
+    # Guard filter [FROZEN]: a variant with count > mb contributes
+    # nothing (the stored clamp mb+1 marks exactly those).
+    vf = (cf_s >= 1) & (cf_s <= mb)
+    vr = (cr_s >= 1) & (cr_s <= mb)
+    cf_v = np.where(vf, cf_s, 0).astype(np.int64)
+    cr_v = np.where(vr, cr_s, 0).astype(np.int64)
+    pf_v = np.where(vf, pf_s, LARGE_POS)
+    pr_v = np.where(vr, pr_s, LARGE_POS)
+
+    s1f = np.zeros(D, np.int64)
+    s1r = np.zeros(D, np.int64)
+    mp1f = np.full(D, LARGE_POS, np.uint32)
+    mp1r = np.full(D, LARGE_POS, np.uint32)
+    four = np.uint64(4)
+    for lo in range(0, D, chunk):
+        hi = min(lo + chunk, D)
+        c = cs[lo:hi]
+        rcc = rc_kmer(c, a)
+        af = np.zeros(hi - lo, np.int64)
+        ar = np.zeros(hi - lo, np.int64)
+        mf = np.full(hi - lo, LARGE_POS, np.uint32)
+        mr = np.full(hi - lo, LARGE_POS, np.uint32)
+        for j in range(a):
+            pj = four ** np.uint64(a - 1 - j)
+            qj = four ** np.uint64(j)
+            dig = (c // pj) % four
+            for r in (1, 2, 3):
+                b = (dig + np.uint64(r)) % four
+                delta = b.astype(np.int64) - dig.astype(np.int64)
+                v = (c.astype(np.int64)
+                     + delta * np.int64(pj)).astype(np.uint64)
+                rv = (rcc.astype(np.int64)
+                      - delta * np.int64(qj)).astype(np.uint64)
+                swap = rv < v
+                cv = np.where(swap, rv, v)
+                idx = np.searchsorted(cs, cv)
+                idx = np.minimum(idx, D - 1)
+                hit = cs[idx] == cv
+                # occ(v) lives on the target's fwd lane when canon(v)
+                # == v, else on its rc lane; occ(rc(v)) on the other.
+                tf = np.where(swap, cr_v[idx], cf_v[idx])
+                tr = np.where(swap, cf_v[idx], cr_v[idx])
+                qfp = np.where(swap, pr_v[idx], pf_v[idx])
+                qrp = np.where(swap, pf_v[idx], pr_v[idx])
+                af += np.where(hit, tf, 0)
+                ar += np.where(hit, tr, 0)
+                mf = np.minimum(mf, np.where(hit & (tf > 0), qfp,
+                                             LARGE_POS))
+                mr = np.minimum(mr, np.where(hit & (tr > 0), qrp,
+                                             LARGE_POS))
+        s1f[lo:hi] = af
+        s1r[lo:hi] = ar
+        mp1f[lo:hi] = mf
+        mp1r[lo:hi] = mr
+        if log is not None and hi < D:
+            log(f"neighbor table: {hi:,}/{D:,} keys aggregated")
+    inv = np.empty(D, np.int64)
+    inv[order] = np.arange(D)
+    T_pad = qt.table.shape[0]
+    nt = np.zeros((T_pad * SLOTS, NBR_LANES), np.int32)
+    nt[occ_slots, 0] = s1f[inv].astype(np.int32)
+    nt[occ_slots, 1] = mp1f[inv].view(np.int32)
+    nt[occ_slots, 2] = s1r[inv].astype(np.int32)
+    nt[occ_slots, 3] = mp1r[inv].view(np.int32)
+    # Empty slots: S1 = 0, minpos = LARGE_POS.
+    empty = np.setdiff1d(np.arange(T_pad * SLOTS), occ_slots,
+                         assume_unique=True)
+    nt[empty, 1] = np.int32(-1)     # LARGE_POS bit pattern
+    nt[empty, 3] = np.int32(-1)
+    return nt.reshape(T_pad, SLOTS * NBR_LANES)
 
 
 def _shard_from_table(qt: QueryTable, n_shards: int, n_buckets: int,

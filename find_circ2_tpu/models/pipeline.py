@@ -56,12 +56,24 @@ class DeviceIndex:
     # tables built without extras (host slow path handles multi reads).
     ext: jax.Array | None = None      # uint32 [R, 2*(K-1)]
     ext_id: jax.Array | None = None   # int32 [T, SLOTS]
+    # K1 v4 exact-first fast path: precomputed 1-mm-ball aggregates
+    # (index/hashtable.build_neighbor_table). None => classic 122-row
+    # enumeration K1; results are bit-identical either way.
+    ntable: jax.Array | None = None   # int32 [T, SLOTS*NBR_LANES]
 
     @classmethod
     def build(cls, genome: Genome, index: SeedIndex | None = None,
               cfg: Config = Config(),
-              qtable: "QueryTable | None" = None) -> "DeviceIndex":
-        from find_circ2_tpu.index.hashtable import build_query_table
+              qtable: "QueryTable | None" = None,
+              exact_first: bool | None = None) -> "DeviceIndex":
+        """`exact_first`: build the K1 v4 neighbor table (4 gathers per
+        anchor instead of 122 — docs/DESIGN.md "exact-first K1").
+        None (auto) builds it except for genome-scale tables, where the
+        one-time aggregation pass costs tens of minutes and should be
+        an explicit choice (precompute + cache via
+        hashtable.build_neighbor_table and pass exact_first=True)."""
+        from find_circ2_tpu.index.hashtable import (build_neighbor_table,
+                                                    build_query_table)
         if index is None:
             index = build_index(genome, cfg)
         if len(genome) >= 2 ** 32 - 2 * cfg.chrom_gap:
@@ -72,6 +84,13 @@ class DeviceIndex:
         if qtable is None:
             qtable = build_query_table(index, cfg)
             index.qtable = qtable
+        ntable = getattr(qtable, "ntable", None)
+        if ntable is None and (exact_first is True or
+                               (exact_first is None
+                                and qtable.n_buckets <= 64 << 20)):
+            index.qtable = qtable
+            ntable = build_neighbor_table(index, cfg)
+            qtable.ntable = ntable
         return cls(
             gpacked=jnp.asarray(pack_nibbles(genome.codes)),
             nbases=len(genome),
@@ -82,6 +101,7 @@ class DeviceIndex:
             ext=(None if qtable.ext is None else jnp.asarray(qtable.ext)),
             ext_id=(None if qtable.ext_id is None
                     else jnp.asarray(qtable.ext_id)),
+            ntable=(None if ntable is None else jnp.asarray(ntable)),
         )
 
 
@@ -128,6 +148,14 @@ def _align_phase(table, meta, reads, lens, cfg):
     return align_anchor_pair(table, meta, anchors_a, anchors_b, cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _align_phase_fast(table, ntable, meta, reads, lens, cfg):
+    from find_circ2_tpu.ops.anchor_align import align_anchor_pair_fast
+    anchors_a, anchors_b = read_anchors(reads, lens, cfg)
+    return align_anchor_pair_fast(table, ntable, meta, anchors_a,
+                                  anchors_b, cfg)
+
+
 @partial(jax.jit, static_argnames=("cfg", "prefilter", "nbases"))
 def _core_phase(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
                 hits_b, cfg, prefilter):
@@ -139,9 +167,17 @@ def detect_batch_phased(dindex: "DeviceIndex", reads, lens, cfg: Config,
                         prefilter: bool = True):
     """Two-program detection step (K1+finalize, then core). Identical
     results to `detect_batch`; kept split so each program stays on XLA's
-    fast emitters (docs/DESIGN.md "XLA pitfalls")."""
-    hits_a, hits_b = _align_phase(dindex.table, dindex.meta, reads, lens,
-                                  cfg)
+    fast emitters (docs/DESIGN.md "XLA pitfalls"). Rides the K1 v4
+    exact-first align phase when the index carries a neighbor table
+    (bench-oriented entry: the rare fallback-overflow batch is NOT
+    redone here — the streaming paths handle that; overflow cannot
+    occur on error-free bench reads whose anchors all exist)."""
+    if dindex.ntable is not None:
+        hits_a, hits_b, _ = _align_phase_fast(
+            dindex.table, dindex.ntable, dindex.meta, reads, lens, cfg)
+    else:
+        hits_a, hits_b = _align_phase(dindex.table, dindex.meta, reads,
+                                      lens, cfg)
     return _core_phase(dindex.gpacked, dindex.nbases,
                        dindex.chrom_offsets, reads, lens, hits_a, hits_b,
                        cfg, prefilter)
@@ -173,6 +209,65 @@ def detect_batch_packed(gpacked, nbases, table, meta, chrom_offsets,
     cols = [res[k].astype(jnp.int32) for k in PACK_FIELDS[:-1]]
     cols.append(sig_packed)
     return jnp.stack(cols, axis=1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "prefilter", "nbases"))
+def detect_batch_packed_fast(gpacked, nbases, table, ntable, meta,
+                             chrom_offsets, reads, lens, cfg: Config,
+                             prefilter: bool = True):
+    """detect_batch_packed on the K1 v4 exact-first align path.
+
+    Bit-identical rows, except the packed `multi` column additionally
+    carries a batch-wide overflow flag in bit 3: set when the batch had
+    more absent-key anchors than the static enumeration-fallback slice
+    (cfg.exact_fallback_slots) — those anchors' fast-path statistics
+    are then NOT trustworthy and the caller must redo the batch through
+    the classic program (`dispatch_packed` + `redo_if_overflow`)."""
+    from find_circ2_tpu.ops.anchor_align import align_anchor_pair_fast
+    anchors_a, anchors_b = read_anchors(reads, lens, cfg)
+    hits_a, hits_b, overflow = align_anchor_pair_fast(
+        table, ntable, meta, anchors_a, anchors_b, cfg)
+    res = detect_core(gpacked, nbases, chrom_offsets, reads, lens,
+                      hits_a, hits_b, cfg, prefilter)
+    res["multi"] = res["multi"] | (overflow.astype(jnp.int32) << 3)
+    sig = res["signal"].astype(jnp.int32)
+    sig_packed = (sig[:, 0] | (sig[:, 1] << 3) | (sig[:, 2] << 6)
+                  | (sig[:, 3] << 9))
+    cols = [res[k].astype(jnp.int32) for k in PACK_FIELDS[:-1]]
+    cols.append(sig_packed)
+    return jnp.stack(cols, axis=1)
+
+
+def dispatch_packed(dindex: "DeviceIndex", arr, lens, cfg: Config,
+                    prefilter: bool = True):
+    """Default single-chip packed dispatch for the streaming loops:
+    exact-first when the index carries a neighbor table, classic
+    otherwise. Pair with `redo_if_overflow` at consume time."""
+    if dindex.ntable is not None:
+        return detect_batch_packed_fast(
+            dindex.gpacked, dindex.nbases, dindex.table, dindex.ntable,
+            dindex.meta, dindex.chrom_offsets, jnp.asarray(arr),
+            jnp.asarray(lens), cfg, prefilter)
+    return detect_batch_packed(
+        dindex.gpacked, dindex.nbases, dindex.table, dindex.meta,
+        dindex.chrom_offsets, jnp.asarray(arr), jnp.asarray(lens), cfg,
+        prefilter)
+
+
+def redo_if_overflow(dindex: "DeviceIndex", res: dict, arr, lens,
+                     cfg: Config, prefilter: bool = True) -> dict:
+    """If the unpacked batch carries the fallback-overflow flag
+    (multi bit 3 — see detect_batch_packed_fast), redo it through the
+    classic enumeration program and return the replacement results;
+    otherwise return `res` unchanged. Synchronous (rare path)."""
+    if dindex is None or dindex.ntable is None or arr is None \
+            or not (res["multi"] & 8).any():
+        return res
+    packed = detect_batch_packed(
+        dindex.gpacked, dindex.nbases, dindex.table, dindex.meta,
+        dindex.chrom_offsets, jnp.asarray(arr), jnp.asarray(lens), cfg,
+        prefilter)
+    return unpack_results(np.asarray(packed))
 
 
 def unpack_results(packed: np.ndarray) -> dict:
@@ -434,12 +529,14 @@ def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
         out.extend(batch_calls)
 
     def consume():
-        this_id, records, packed = inflight.popleft()
+        this_id, records, packed, arr, blens = inflight.popleft()
         if packed is None:          # journal replay / loose ReadCalls
             finishing.append((None, records, (), None))
         else:
             with timed("device_detect"):
                 res = unpack_results(np.asarray(packed))
+                res = redo_if_overflow(dindex, res, arr, blens, cfg,
+                                       prefilter)
             batch_calls: list[ReadCall] = []
             route_slots: list[int] = []
             routed: list[tuple[str, str]] = []
@@ -509,7 +606,7 @@ def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
                 raise ValueError(
                     f"journal batch {this_id} has {len(replay)} calls, "
                     f"input has {len(buf)}: input changed since journal")
-            inflight.append((this_id, replay, None))
+            inflight.append((this_id, replay, None, None, None))
             buf.clear()
             if len(inflight) > pipeline_depth:
                 consume()
@@ -525,15 +622,13 @@ def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
             if dispatch is not None:
                 packed = dispatch(arr, lens)
             else:
-                packed = detect_batch_packed(
-                    dindex.gpacked, dindex.nbases, dindex.table,
-                    dindex.meta, dindex.chrom_offsets, jnp.asarray(arr),
-                    jnp.asarray(lens), cfg, prefilter)
+                packed = dispatch_packed(dindex, arr, lens, cfg,
+                                         prefilter)
             try:
                 packed.copy_to_host_async()
             except AttributeError:
                 pass
-        inflight.append((this_id, list(buf), packed))
+        inflight.append((this_id, list(buf), packed, arr, lens))
         buf.clear()
         if len(inflight) > pipeline_depth:
             consume()
@@ -544,7 +639,7 @@ def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
         if inflight and inflight[-1][0] is None:
             inflight[-1][1].append(call)
         else:
-            inflight.append((None, [call], None))
+            inflight.append((None, [call], None, None, None))
 
     for name, seq in reads:
         if len(seq) < 2 * cfg.anchor_len:

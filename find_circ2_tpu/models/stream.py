@@ -14,7 +14,6 @@ from __future__ import annotations
 import gzip
 import os
 
-import jax.numpy as jnp
 import numpy as np
 
 from find_circ2_tpu.config import (RPAD_CODE, Config, ST_JUNCTION,
@@ -24,8 +23,8 @@ from find_circ2_tpu.config import (RPAD_CODE, Config, ST_JUNCTION,
 from find_circ2_tpu.io.twobit import _CODE_LUT, codes_to_seq
 from find_circ2_tpu.models.aggregate import Aggregator, seq_hash_batch
 from find_circ2_tpu.models.oracle import ReadCall
-from find_circ2_tpu.models.pipeline import (DeviceIndex,
-    detect_batch_packed, unpack_results)
+from find_circ2_tpu.models.pipeline import (DeviceIndex, dispatch_packed,
+    redo_if_overflow, unpack_results)
 from find_circ2_tpu import native
 
 CHUNK = 16 << 20  # bytes per read(2) chunk
@@ -153,9 +152,12 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
             agg.add(call)
 
     def consume() -> None:
-        batch_id, buf, spans, sel, packed, hashes = inflight.popleft()
+        batch_id, buf, spans, sel, packed, hashes, arr, blens = \
+            inflight.popleft()
         with timed("device_detect"):
             res = unpack_results(np.asarray(packed))
+            res = redo_if_overflow(dindex, res, arr, blens, cfg,
+                                   prefilter)
         # NOTE: the slow-path loops below keep their own timers; the
         # "aggregate" stage must not enclose them or the report
         # double-counts (negative wall residual).
@@ -305,18 +307,16 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
                 if dispatch is not None:
                     packed = dispatch(arr, lens)
                 else:
-                    packed = detect_batch_packed(
-                        dindex.gpacked, dindex.nbases, dindex.table,
-                        dindex.meta, dindex.chrom_offsets,
-                        jnp.asarray(arr), jnp.asarray(lens), cfg,
-                        prefilter)
+                    packed = dispatch_packed(dindex, arr, lens, cfg,
+                                             prefilter)
                 try:
                     packed.copy_to_host_async()
                 except AttributeError:
                     pass
             with timed("encode"):
                 hashes = seq_hash_batch(arr)
-            inflight.append((batch_id, buf, spans, sel, packed, hashes))
+            inflight.append((batch_id, buf, spans, sel, packed, hashes,
+                             arr, lens))
             if len(inflight) > pipeline_depth:
                 consume()
 

@@ -337,6 +337,175 @@ def finalize_hits(count, first_pos, mm_v, strand_v, cfg: Config,
                       qual=qual)
 
 
+def exact_anchor_stats(table, ntable, meta, anchors, cfg: Config):
+    """K1 v4 fast path: frozen SPEC §2 per-anchor statistics from the
+    EXACT canonical key alone — 4 row gathers per anchor instead of the
+    122-row variant enumeration (docs/DESIGN.md "exact-first K1").
+
+    Works because the query table's slot carries both orientations'
+    exact (count, first_pos) and `ntable` (index/hashtable
+    .build_neighbor_table) carries the guard-filtered 1-mm-ball
+    aggregates (S1, minpos1) per orientation — everything
+    finalize_hits derives from the enumeration, precomputed at build
+    time. Returns (AnchorHits [B], resolved bool [B]): resolved=False
+    means the anchor's 20-mer is ABSENT from the table in both
+    orientations (typically a sequencing error) and the caller must run
+    the enumeration fallback for it; dirty anchors (code >= 4) resolve
+    to the enumeration's empty statistics directly."""
+    from find_circ2_tpu.index.hashtable import (CNT_BITS, CNT_MASK, LANES,
+        NBR_LANES, S8_MASK, SLOTS, mix_hash)
+    LPOS = LARGE_POS
+    B, a = anchors.shape
+    pk = cfg.prefix_len
+    sk = a - pk
+
+    anc = anchors.astype(jnp.int32)
+    clean = jnp.all(anc < 4, axis=-1)
+    qc = jnp.where(anc < 4, anc, 0)
+    j = jnp.arange(a)
+    wp = jnp.where(j < pk, 4 ** jnp.clip(pk - 1 - j, 0, pk - 1),
+                   0).astype(jnp.int32)
+    ws = jnp.where(j >= pk, 4 ** jnp.clip(a - 1 - j, 0, sk - 1),
+                   0).astype(jnp.int32)
+    wpr = jnp.where(j >= a - pk, 4 ** jnp.clip(j - (a - pk), 0, pk - 1),
+                    0).astype(jnp.int32)
+    wsr = jnp.where(j < a - pk, 4 ** jnp.clip(j, 0, sk - 1),
+                    0).astype(jnp.int32)
+    p12 = jnp.sum(qc * wp, axis=-1)
+    s8 = jnp.sum(qc * ws, axis=-1)
+    p12r = jnp.sum((3 - qc) * wpr, axis=-1)
+    s8r = jnp.sum((3 - qc) * wsr, axis=-1)
+    swap = (p12r < p12) | ((p12r == p12) & (s8r < s8))
+    cp = jnp.where(swap, p12r, p12)
+    cs = jnp.where(swap, s8r, s8)
+
+    n_buckets = meta[2].astype(jnp.uint32)
+    up = cp.astype(jnp.uint32)
+    us = cs.astype(jnp.uint32)
+
+    def probe(salt):
+        h = (mix_hash(up, us, salt) % n_buckets).astype(jnp.int32)
+        g = jnp.take(table, h, axis=0).reshape(B, SLOTS, LANES)
+        n = jnp.take(ntable, h, axis=0).reshape(B, SLOTS, NBR_LANES)
+        packed = g[..., 1]
+        m = (g[..., 0] == cp[..., None]) & ((packed & S8_MASK)
+                                            == cs[..., None])
+        cf = (packed >> 16) & CNT_MASK
+        cr = (packed >> (16 + CNT_BITS)) & CNT_MASK
+        pf = g[..., 2].astype(jnp.uint32)
+        pr = g[..., 3].astype(jnp.uint32)
+        s1f = n[..., 0]
+        m1f = n[..., 1].astype(jnp.uint32)
+        s1r = n[..., 2]
+        m1r = n[..., 3].astype(jnp.uint32)
+
+        def msum(x):
+            return jnp.sum(jnp.where(m, x, 0), axis=-1)
+
+        def mmin(x):
+            return jnp.min(jnp.where(m, x, LPOS), axis=-1)
+
+        return (m.any(axis=-1), msum(cf), mmin(pf), msum(cr), mmin(pr),
+                msum(s1f), mmin(m1f), msum(s1r), mmin(m1r))
+
+    f1 = probe(meta[0].astype(jnp.uint32))
+    f2 = probe(meta[1].astype(jnp.uint32))
+    found = f1[0] | f2[0]
+    cf_t = f1[1] + f2[1]
+    pf_t = jnp.minimum(f1[2], f2[2])
+    cr_t = f1[3] + f2[3]
+    pr_t = jnp.minimum(f1[4], f2[4])
+    s1f_t = f1[5] + f2[5]
+    m1f_t = jnp.minimum(f1[6], f2[6])
+    s1r_t = f1[7] + f2[7]
+    m1r_t = jnp.minimum(f1[8], f2[8])
+
+    # Repetitive-20-mer guard [FROZEN] on the exact counts (neighbor
+    # aggregates are guard-filtered at build).
+    cf_t = jnp.where(cf_t > cfg.max_bucket, 0, cf_t)
+    cr_t = jnp.where(cr_t > cfg.max_bucket, 0, cr_t)
+    usable = found & clean
+    zero = jnp.int32(0)
+    cf_t = jnp.where(usable, cf_t, zero)
+    cr_t = jnp.where(usable, cr_t, zero)
+    s1f_t = jnp.where(usable, s1f_t, zero)
+    s1r_t = jnp.where(usable, s1r_t, zero)
+
+    # Orientation swap: the '+' query takes the canonical key's own
+    # lanes when swap is False, its rc lanes when True (exactly as
+    # candidate_stats).
+    exact_p = jnp.where(swap, cr_t, cf_t)
+    exact_m = jnp.where(swap, cf_t, cr_t)
+    posx_p = jnp.where(swap, pr_t, pf_t)
+    posx_m = jnp.where(swap, pf_t, pr_t)
+    s1_p = jnp.where(swap, s1r_t, s1f_t)
+    s1_m = jnp.where(swap, s1f_t, s1r_t)
+    mp1_p = jnp.where(swap, m1r_t, m1f_t)
+    mp1_m = jnp.where(swap, m1f_t, m1r_t)
+
+    # finalize_hits' frozen formulas, specialized to the two-level
+    # (exact, 1-mm-aggregate) decomposition.
+    n_exact = exact_p + exact_m
+    total = n_exact + s1_p + s1_m
+    any_exact = n_exact > 0
+    any_at_all = total > 0
+    m0 = jnp.where(any_exact, 0,
+                   jnp.where(any_at_all, 1, LARGE_MM)).astype(jnp.int32)
+    n_best = jnp.where(any_exact, n_exact, total).astype(jnp.int32)
+    has_p_at_m0 = jnp.where(any_exact, exact_p > 0, s1_p > 0)
+    strand_best = jnp.where(has_p_at_m0, 0,
+                            jnp.where(any_at_all, 1, 2)).astype(jnp.int32)
+    pos_exact = jnp.where((strand_best == 0) & (exact_p > 0), posx_p,
+                          jnp.where((strand_best == 1) & (exact_m > 0),
+                                    posx_m, LPOS))
+    pos_1mm = jnp.where(strand_best == 0, mp1_p,
+                        jnp.where(strand_best == 1, mp1_m, LPOS))
+    pos_best = jnp.where(m0 == 0, pos_exact,
+                         jnp.where(m0 == 1, pos_1mm, LPOS))
+    second_mm = jnp.where(
+        n_best > 1, m0,
+        jnp.where((m0 == 0) & (total > n_exact), 1, a + 1)
+    ).astype(jnp.int32)
+    qual = jnp.where(n_best > 1, 0,
+                     jnp.minimum(40, 10 * (second_mm - m0)))
+    aligned = m0 <= cfg.max_anchor_mm
+    hits = AnchorHits(aligned=aligned, pos=pos_best, strand=strand_best,
+                      mm=m0, n_best=n_best, second_mm=second_mm,
+                      qual=qual)
+    resolved = found | ~clean
+    return hits, resolved
+
+
+def align_anchor_pair_fast(table, ntable, meta, anchors_a, anchors_b,
+                           cfg: Config):
+    """K1 v4: exact-first anchor alignment with an in-program
+    enumeration fallback for absent-key anchors.
+
+    The fallback compacts unresolved anchors to the front
+    (stable argsort of the resolved mask) and runs the classic
+    enumeration on a STATIC `cfg.exact_fallback_slots`-anchor slice —
+    results scatter back over the fast-path rows (re-enumerated
+    resolved anchors produce bit-identical statistics, so the
+    unconditional scatter is safe). Returns (hits_a, hits_b, overflow):
+    `overflow` (scalar bool) is True when more anchors were unresolved
+    than the fallback slice holds — the caller must redo the batch on
+    the classic path (pipeline routes this; rare outside junk-dominated
+    libraries)."""
+    B = anchors_a.shape[0]
+    both = jnp.concatenate([anchors_a, anchors_b], axis=0)
+    hits, resolved = exact_anchor_stats(table, ntable, meta, both, cfg)
+    k = min(cfg.exact_fallback_slots, 2 * B)
+    order = jnp.argsort(resolved.astype(jnp.int8), stable=True)
+    idx = order[:k]
+    sub = jnp.take(both, idx, axis=0)
+    sub_hits = align_anchors(table, meta, sub, cfg)
+    merged = AnchorHits(*(f.at[idx].set(s)
+                          for f, s in zip(hits, sub_hits)))
+    overflow = jnp.sum(~resolved) > k
+    return (AnchorHits(*(x[:B] for x in merged)),
+            AnchorHits(*(x[B:] for x in merged)), overflow)
+
+
 def align_anchors(table, meta, anchors, cfg: Config,
                   axis_name: str | None = None) -> AnchorHits:
     """SPEC.md §2 anchor alignment for a batch of anchors.

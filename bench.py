@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import gc
 import json
+import os
 import sys
 import time
 
@@ -127,9 +128,33 @@ def roofline_reads_per_s(cfg, read_len: int, bw: float):
     return bw / need, bw / txn, issue
 
 
+def ntable_cached(index, cfg, tag: str):
+    """Disk-cached K1 v4 neighbor table (the one-time aggregation costs
+    minutes at 50M keys; the table is a pure function of the query
+    table + cfg.max_bucket, and the cache key pins the salts, bucket
+    count and format generation, so staleness is structurally
+    impossible)."""
+    import hashlib
+    from find_circ2_tpu.index.hashtable import (TABLE_FORMAT,
+                                                build_neighbor_table)
+    qt = index.qtable
+    key = hashlib.sha1(
+        f"{TABLE_FORMAT}|{cfg.max_bucket}|{tag}|{qt.n_buckets}|"
+        f"{int(qt.meta[0])}|{int(qt.meta[1])}".encode()).hexdigest()[:16]
+    path = f"/tmp/fc2_ntable_{key}.npy"
+    if os.path.exists(path):
+        nt = np.load(path)
+        if nt.shape[0] == qt.table.shape[0]:
+            return nt
+    nt = build_neighbor_table(index, cfg)
+    np.save(path, nt)
+    return nt
+
+
 def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
     """Build genome+index at one size, measure throughput; returns dict."""
     from find_circ2_tpu.index.build import build_index
+    from find_circ2_tpu.index.hashtable import build_query_table
     from find_circ2_tpu.models.pipeline import (DeviceIndex, _align_phase,
                                                 _core_phase,
                                                 detect_batch_phased)
@@ -139,6 +164,9 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
         args.reads, genome_mb, args.read_len, cfg, repeat_frac=args.repeat_frac)
     index = build_index(genome, cfg)
     guard_pct, n_distinct = index_repeat_stats(index, cfg)
+    index.qtable = build_query_table(index, cfg)
+    index.qtable.ntable = ntable_cached(
+        index, cfg, f"bench|{genome_mb}|{args.repeat_frac}")
     dindex = DeviceIndex.build(genome, index, cfg)
     rep_mb = sum(planted.values()) / 1e6
     print(f"bench[{genome_mb:g}MB]: setup {time.time() - t0:.1f}s — "
@@ -197,10 +225,23 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
     n_junc = int((statuses == 0).sum())
 
     # Phase breakdown (sync per phase adds dispatch overhead; report the
-    # split, keep the un-instrumented epochs as the headline).
+    # split, keep the un-instrumented epochs as the headline). Times the
+    # SAME align variant the headline ran (exact-first when the index
+    # carries a neighbor table), warmed so compile stays out.
+    if dindex.ntable is not None:
+        from find_circ2_tpu.models.pipeline import _align_phase_fast
+
+        def align_step(rb, lb):
+            ha, hb, _ = _align_phase_fast(dindex.table, dindex.ntable,
+                                          dindex.meta, rb, lb, cfg)
+            return ha, hb
+    else:
+        def align_step(rb, lb):
+            return _align_phase(dindex.table, dindex.meta, rb, lb, cfg)
+
+    np.asarray(align_step(reads_d[0], lens_d[0])[1].pos[:1])  # warm
     t0 = time.time()
-    hits = [_align_phase(dindex.table, dindex.meta, rb, lb, cfg)
-            for rb, lb in zip(reads_d, lens_d)]
+    hits = [align_step(rb, lb) for rb, lb in zip(reads_d, lens_d)]
     np.asarray(hits[-1][1].pos[:1])
     t_align = time.time() - t0
     t0 = time.time()
@@ -364,6 +405,10 @@ def bench_filter_stack(args, cfg, jax):
                           n_linear=200 * args.fs_scale, depth_mean=12.0,
                           cfg=cfg)
     index = build_index(sim.genome, cfg)
+    from find_circ2_tpu.index.hashtable import build_query_table
+    index.qtable = build_query_table(index, cfg)
+    index.qtable.ntable = ntable_cached(index, cfg,
+                                        f"fs|{args.fs_scale}")
     dindex = DeviceIndex.build(sim.genome, index, cfg)
     n_reads = len(sim.reads)
     print(f"bench[filter-stack]: setup {time.time() - t0:.1f}s — "

@@ -265,12 +265,14 @@ def run(args) -> int:
                 run_fastq(None, f, agg, cfg, prefilter, batch_size=bs,
                           times=times, slowpath=(genome, index),
                           journal=jr, revcomp=bool(args.pe and fi % 2),
-                          dispatch=eng.dispatch_packed)
+                          dispatch=eng.dispatch_packed,
+                          redo=eng.redo_packed)
         else:
             for call in run_reads(None, src, cfg, prefilter,
                                   batch_size=bs, journal=journal,
                                   times=times, slowpath=(genome, index),
-                                  dispatch=eng.dispatch_packed):
+                                  dispatch=eng.dispatch_packed,
+                                  redo=eng.redo_packed):
                 agg.add(call)
     elif args.backend == "device":
         from find_circ2_tpu import native

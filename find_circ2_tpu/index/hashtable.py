@@ -538,6 +538,55 @@ def build_neighbor_table(index: SeedIndex, cfg: Config = Config(), *,
     return nt.reshape(T_pad, SLOTS * NBR_LANES)
 
 
+def shard_neighbor_tables(qt: QueryTable, tables: np.ndarray
+                          ) -> np.ndarray:
+    """Per-shard K1 v4 neighbor tables, row-aligned with `tables`
+    (the output of shard_query_table).
+
+    1-mm neighbors cross prefix-range shard boundaries, so the
+    aggregates are properties of the FULL key set: they are built once
+    on the full table (build_neighbor_table -> qt.ntable) and RELOCATED
+    here — each shard slot's key is probed in the full table and its
+    aggregate row copied. Returns int32
+    [n_shards, T_pad, SLOTS * NBR_LANES]."""
+    if qt.ntable is None:
+        raise ValueError("full-table ntable missing; call "
+                         "build_neighbor_table first")
+    ftab = np.asarray(qt.table).reshape(-1, LANES)
+    ntf = np.asarray(qt.ntable).reshape(-1, NBR_LANES)
+    salts = np.asarray(qt.meta[:2], np.int32).view(np.uint32)
+    nb = np.int64(qt.n_buckets)
+    n_shards, T_pad, _ = tables.shape
+    out = np.zeros((n_shards, T_pad * SLOTS, NBR_LANES), np.int32)
+    out[:, :, 1] = -1           # LARGE_POS bit pattern for empty slots
+    out[:, :, 3] = -1
+    for i in range(n_shards):
+        tab = tables[i].reshape(-1, LANES)
+        occ = np.flatnonzero(tab[:, 0] != EMPTY_KEY)
+        if occ.size == 0:
+            continue
+        p12 = tab[occ, 0].astype(np.uint32)
+        s8 = (tab[occ, 1] & S8_MASK).astype(np.uint32)
+        rows = np.zeros((occ.size, NBR_LANES), np.int32)
+        found = np.zeros(occ.size, bool)
+        for salt in salts:
+            h = (mix_hash(p12, s8, salt).astype(np.int64)) % nb
+            for s in range(SLOTS):
+                slot = h * SLOTS + s
+                m = (~found) \
+                    & (ftab[slot, 0] == tab[occ, 0]) \
+                    & ((ftab[slot, 1] & S8_MASK)
+                       == (tab[occ, 1] & S8_MASK))
+                rows[m] = ntf[slot[m]]
+                found |= m
+        if not found.all():
+            raise RuntimeError(
+                f"shard {i}: {int((~found).sum())} keys not found in "
+                f"the full table (table/ntable mismatch)")
+        out[i, occ] = rows
+    return out.reshape(n_shards, T_pad, SLOTS * NBR_LANES)
+
+
 def _shard_from_table(qt: QueryTable, n_shards: int, n_buckets: int,
                       cfg: Config, load: float, seed: int):
     """Carve prefix-range shards out of an EXISTING full table.

@@ -461,7 +461,8 @@ def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
 def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
               prefilter: bool = True, batch_size: int | None = None,
               journal=None, times=None, pipeline_depth: int = 2,
-              slowpath=None, dispatch=None, explore: bool | None = None):
+              slowpath=None, dispatch=None, explore: bool | None = None,
+              redo=None):
     """Host streaming loop: batch reads, run the device step, yield
     ReadCalls. `reads` is an iterable of (name, seq).
 
@@ -535,8 +536,14 @@ def run_reads(dindex: DeviceIndex | None, reads, cfg: Config = Config(),
         else:
             with timed("device_detect"):
                 res = unpack_results(np.asarray(packed))
-                res = redo_if_overflow(dindex, res, arr, blens, cfg,
-                                       prefilter)
+                # K1 v4 fallback overflow (multi bit 3): redo the batch
+                # through the classic program — the sharded engine's
+                # via `redo`, the single-chip one via the index.
+                if redo is not None and (res["multi"] & 8).any():
+                    res = unpack_results(np.asarray(redo(arr, blens)))
+                else:
+                    res = redo_if_overflow(dindex, res, arr, blens,
+                                           cfg, prefilter)
             batch_calls: list[ReadCall] = []
             route_slots: list[int] = []
             routed: list[tuple[str, str]] = []

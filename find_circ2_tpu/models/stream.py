@@ -59,7 +59,7 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
               pipeline_depth: int = 2, slowpath=None,
               journal=None, revcomp: bool = False,
               explore: bool | None = None, dispatch=None,
-              shard: tuple[int, int] | None = None) -> None:
+              shard: tuple[int, int] | None = None, redo=None) -> None:
     """Stream a FASTQ(.gz) file through the device pipeline into `agg`.
 
     Dispatch is pipelined `pipeline_depth` batches deep with packed
@@ -156,8 +156,14 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
             inflight.popleft()
         with timed("device_detect"):
             res = unpack_results(np.asarray(packed))
-            res = redo_if_overflow(dindex, res, arr, blens, cfg,
-                                   prefilter)
+            # K1 v4 fallback overflow (multi bit 3): redo through the
+            # classic program — the sharded engine's via `redo`, the
+            # single-chip one via the index.
+            if redo is not None and (res["multi"] & 8).any():
+                res = unpack_results(np.asarray(redo(arr, blens)))
+            else:
+                res = redo_if_overflow(dindex, res, arr, blens, cfg,
+                                       prefilter)
         # NOTE: the slow-path loops below keep their own timers; the
         # "aggregate" stage must not enclose them or the report
         # double-counts (negative wall residual).

@@ -337,7 +337,8 @@ def finalize_hits(count, first_pos, mm_v, strand_v, cfg: Config,
                       qual=qual)
 
 
-def exact_anchor_stats(table, ntable, meta, anchors, cfg: Config):
+def exact_anchor_stats(table, ntable, meta, anchors, cfg: Config,
+                       axis_name: str | None = None):
     """K1 v4 fast path: frozen SPEC §2 per-anchor statistics from the
     EXACT canonical key alone — 4 row gathers per anchor instead of the
     122-row variant enumeration (docs/DESIGN.md "exact-first K1").
@@ -420,6 +421,22 @@ def exact_anchor_stats(table, ntable, meta, anchors, cfg: Config):
     s1r_t = f1[7] + f2[7]
     m1r_t = jnp.minimum(f1[8], f2[8])
 
+    if axis_name is not None:
+        # Cross-index-shard combine: a canonical key lives on exactly
+        # one prefix-range shard (its neighbor aggregates were built
+        # from the FULL table before sharding, so they are global);
+        # non-owners contribute 0 counts / LARGE positions. Integer
+        # psum/pmin — bit-identical to the single-shard result.
+        found = jax.lax.psum(found.astype(jnp.int32), axis_name) > 0
+        cf_t = jax.lax.psum(cf_t, axis_name)
+        cr_t = jax.lax.psum(cr_t, axis_name)
+        s1f_t = jax.lax.psum(s1f_t, axis_name)
+        s1r_t = jax.lax.psum(s1r_t, axis_name)
+        pf_t = jax.lax.pmin(pf_t, axis_name)
+        pr_t = jax.lax.pmin(pr_t, axis_name)
+        m1f_t = jax.lax.pmin(m1f_t, axis_name)
+        m1r_t = jax.lax.pmin(m1r_t, axis_name)
+
     # Repetitive-20-mer guard [FROZEN] on the exact counts (neighbor
     # aggregates are guard-filtered at build).
     cf_t = jnp.where(cf_t > cfg.max_bucket, 0, cf_t)
@@ -477,7 +494,7 @@ def exact_anchor_stats(table, ntable, meta, anchors, cfg: Config):
 
 
 def align_anchor_pair_fast(table, ntable, meta, anchors_a, anchors_b,
-                           cfg: Config):
+                           cfg: Config, axis_name: str | None = None):
     """K1 v4: exact-first anchor alignment with an in-program
     enumeration fallback for absent-key anchors.
 
@@ -493,12 +510,16 @@ def align_anchor_pair_fast(table, ntable, meta, anchors_a, anchors_b,
     libraries)."""
     B = anchors_a.shape[0]
     both = jnp.concatenate([anchors_a, anchors_b], axis=0)
-    hits, resolved = exact_anchor_stats(table, ntable, meta, both, cfg)
+    hits, resolved = exact_anchor_stats(table, ntable, meta, both, cfg,
+                                        axis_name=axis_name)
     k = min(cfg.exact_fallback_slots, 2 * B)
+    # Under sharding, `resolved` is globally combined (psum), so every
+    # shard compacts the SAME indices and the per-shard enumeration
+    # below combines through the same collectives as classic K1.
     order = jnp.argsort(resolved.astype(jnp.int8), stable=True)
     idx = order[:k]
     sub = jnp.take(both, idx, axis=0)
-    sub_hits = align_anchors(table, meta, sub, cfg)
+    sub_hits = align_anchors(table, meta, sub, cfg, axis_name=axis_name)
     merged = AnchorHits(*(f.at[idx].set(s)
                           for f, s in zip(hits, sub_hits)))
     overflow = jnp.sum(~resolved) > k

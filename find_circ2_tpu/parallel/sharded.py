@@ -46,8 +46,11 @@ def _data_axes(mesh: Mesh):
 
 def _detect(gpacked, tables, metas, chrom_offsets, reads, lens, cfg,
             prefilter, nbases):
-    """Shared shard_map body: K1 with cross-index-shard collectives,
-    then the replicated-core detection."""
+    """Shared shard_map body (classic K1): cross-index-shard
+    collectives, then the replicated-core detection. The K1 v4
+    exact-first variant lives in sharded_detect_fn(fast=True); the
+    collective junction-merge path stays on this classic body so
+    on-device merged tables can never contain fallback-overflow rows."""
     table_l = tables[0]
     meta_l = metas[0]
     anchors_a, anchors_b = read_anchors(reads, lens, cfg)
@@ -58,7 +61,8 @@ def _detect(gpacked, tables, metas, chrom_offsets, reads, lens, cfg,
 
 
 def sharded_detect_fn(mesh: Mesh, cfg: Config, nbases: int,
-                      prefilter: bool = True, packed: bool = False):
+                      prefilter: bool = True, packed: bool = False,
+                      fast: bool = False):
     """Build the jitted sharded detect step over `mesh`.
 
     Signature of the returned fn:
@@ -66,15 +70,15 @@ def sharded_detect_fn(mesh: Mesh, cfg: Config, nbases: int,
            chrom_offsets[C], reads[B, Lp], lens[B])
         -> dict of [B] arrays, or one int32 [B, len(PACK_FIELDS)] array
            when `packed` (same layout as pipeline.detect_batch_packed).
+    With `fast`, the fn takes an extra per-shard neighbor-table operand
+    after `tables` (K1 v4 exact-first; hashtable.shard_neighbor_tables)
+    and the packed multi column carries the fallback-overflow flag in
+    bit 3 exactly like detect_batch_packed_fast.
     B must divide evenly by the mesh's data axes.
     """
     da = _data_axes(mesh)
 
-    def step(gpacked, tables, metas, chrom_offsets, reads, lens):
-        res = _detect(gpacked, tables, metas, chrom_offsets, reads, lens,
-                      cfg, prefilter, nbases)
-        if not packed:
-            return res
+    def pack(res):
         sig = res["signal"].astype(jnp.int32)
         sigp = (sig[:, 0] | (sig[:, 1] << 3) | (sig[:, 2] << 6)
                 | (sig[:, 3] << 9))
@@ -82,10 +86,35 @@ def sharded_detect_fn(mesh: Mesh, cfg: Config, nbases: int,
         cols.append(sigp)
         return jnp.stack(cols, axis=1)
 
+    if fast:
+        def step(gpacked, tables, ntables, metas, chrom_offsets, reads,
+                 lens):
+            from find_circ2_tpu.ops.anchor_align import \
+                align_anchor_pair_fast
+            anchors_a, anchors_b = read_anchors(reads, lens, cfg)
+            hits_a, hits_b, overflow = align_anchor_pair_fast(
+                tables[0], ntables[0], metas[0], anchors_a, anchors_b,
+                cfg, axis_name="index")
+            res = detect_core(gpacked, nbases, chrom_offsets, reads,
+                              lens, hits_a, hits_b, cfg, prefilter)
+            res["multi"] = res["multi"] | (overflow.astype(jnp.int32)
+                                           << 3)
+            return pack(res) if packed else res
+
+        in_specs = (P(), P("index"), P("index"), P("index"), P(),
+                    P(da), P(da))
+    else:
+        def step(gpacked, tables, metas, chrom_offsets, reads, lens):
+            res = _detect(gpacked, tables, metas, chrom_offsets, reads,
+                          lens, cfg, prefilter, nbases)
+            return pack(res) if packed else res
+
+        in_specs = (P(), P("index"), P("index"), P(), P(da), P(da))
+
     smapped = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P("index"), P("index"), P(), P(da), P(da)),
+        in_specs=in_specs,
         out_specs=P(da),
         check_vma=False,
     )
@@ -132,17 +161,42 @@ class ShardedEngine:
     and runs batches through the sharded step."""
 
     def __init__(self, genome: Genome, index: SeedIndex, mesh: Mesh,
-                 cfg: Config = Config(), prefilter: bool = True) -> None:
+                 cfg: Config = Config(), prefilter: bool = True,
+                 exact_first: bool | None = None) -> None:
+        """`exact_first`: run K1 v4 (4 gathers/anchor, sharded psum/
+        pmin combine) — None auto-enables it below genome scale (the
+        one-time full-table neighbor aggregation costs ~8 us/key)."""
         self.cfg = cfg
         self.mesh = mesh
         n_index = mesh.shape["index"]
         self.n_data = 1
         for n in _data_axes(mesh):
             self.n_data *= mesh.shape[n]
+        if exact_first is None:
+            exact_first = index.positions.size <= (256 << 20)
+        ntables = None
+        if exact_first:
+            from find_circ2_tpu.index.hashtable import (
+                build_neighbor_table, build_query_table,
+                shard_neighbor_tables)
+            if index.qtable is None:
+                index.qtable = build_query_table(index, cfg,
+                                                 extras=False)
         tables, metas = shard_query_table(index, n_index, cfg)
-        self.fn = sharded_detect_fn(mesh, cfg, len(genome), prefilter)
+        if exact_first:
+            if index.qtable.ntable is None:
+                index.qtable.ntable = build_neighbor_table(index, cfg)
+            ntables = shard_neighbor_tables(index.qtable, tables)
+        self.fast = ntables is not None
+        self.fn = sharded_detect_fn(mesh, cfg, len(genome), prefilter,
+                                    fast=self.fast)
         self.packed_fn = sharded_detect_fn(mesh, cfg, len(genome),
-                                           prefilter, packed=True)
+                                           prefilter, packed=True,
+                                           fast=self.fast)
+        # Classic program kept alongside for the fallback-overflow redo.
+        self.classic_packed_fn = sharded_detect_fn(
+            mesh, cfg, len(genome), prefilter, packed=True) \
+            if self.fast else None
         self.merge_fn = sharded_detect_merge_fn(mesh, cfg, len(genome),
                                                 prefilter)
         self._data_spec = P(_data_axes(mesh))
@@ -153,6 +207,7 @@ class ShardedEngine:
         self.gpacked = put(pack_nibbles(genome.codes), P())
         self.tables = put(tables, P("index"))
         self.metas = put(metas, P("index"))
+        self.ntables = put(ntables, P("index")) if self.fast else None
         self.chrom_offsets = put(
             genome.chrom_offsets.astype(np.uint32), P())
 
@@ -168,20 +223,43 @@ class ShardedEngine:
                     jax.make_array_from_process_local_data(sh_l, lens))
         return jax.device_put(reads, sh_r), jax.device_put(lens, sh_l)
 
+    def _args(self, reads_d, lens_d, classic: bool = False):
+        if self.fast and not classic:
+            return (self.gpacked, self.tables, self.ntables, self.metas,
+                    self.chrom_offsets, reads_d, lens_d)
+        return (self.gpacked, self.tables, self.metas,
+                self.chrom_offsets, reads_d, lens_d)
+
     def detect(self, reads: np.ndarray, lens: np.ndarray):
-        """reads uint8 [B, Lp], lens int32 [B]; B % n_data == 0."""
+        """reads uint8 [B, Lp], lens int32 [B]; B % n_data == 0.
+        Synchronous; transparently redoes a fallback-overflow batch on
+        the classic program (multi bit 3, K1 v4)."""
         reads_d, lens_d = self._put_batch(reads, lens)
-        out = self.fn(self.gpacked, self.tables, self.metas,
-                      self.chrom_offsets, reads_d, lens_d)
-        return {k: np.asarray(v) for k, v in out.items()}
+        out = self.fn(*self._args(reads_d, lens_d))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if self.fast and (out["multi"] & 8).any():
+            packed = self.classic_packed_fn(
+                *self._args(reads_d, lens_d, classic=True))
+            from find_circ2_tpu.models.pipeline import unpack_results
+            out = unpack_results(np.asarray(packed))
+        return out
 
     def dispatch_packed(self, reads: np.ndarray, lens: np.ndarray):
         """Async packed dispatch for streaming loops (pipeline.run_reads
-        `dispatch`): returns the device array without blocking."""
+        `dispatch`): returns the device array without blocking. Callers
+        must pair with `redo_packed` on the multi-bit-3 overflow flag
+        (the streaming loops do — pipeline.run_reads/stream.run_fastq
+        `redo`)."""
         reads_d, lens_d = self._put_batch(reads, lens)
-        packed = self.packed_fn(self.gpacked, self.tables, self.metas,
-                                self.chrom_offsets, reads_d, lens_d)
-        return packed
+        return self.packed_fn(*self._args(reads_d, lens_d))
+
+    def redo_packed(self, reads: np.ndarray, lens: np.ndarray):
+        """Classic-program packed dispatch (fallback-overflow redo)."""
+        if not self.fast:
+            return self.dispatch_packed(reads, lens)
+        reads_d, lens_d = self._put_batch(reads, lens)
+        return self.classic_packed_fn(
+            *self._args(reads_d, lens_d, classic=True))
 
     def detect_merged(self, reads: np.ndarray, lens: np.ndarray):
         """Full sharded detect + on-device collective junction merge."""

@@ -31,8 +31,10 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--repeat-frac", type=float, default=0.45)
     ap.add_argument("--epochs", type=int, default=3)
-    ap.add_argument("--cpu-devices", type=int, default=8)
-    ap.add_argument("--out", default="SCALING_r04.json")
+    ap.add_argument("--cpu-devices", type=int, default=8,
+                    help="0 = run on the real default platform (e.g. "
+                    "the one TPU chip as the (1,1) anchor point)")
+    ap.add_argument("--out", default="SCALING_r05.json")
     args = ap.parse_args()
 
     if args.cpu_devices:
@@ -110,8 +112,13 @@ def main():
             best = min(best, time.time() - t0)
         rps = len(batches) * bs / best
         eff = rps / (base_rps * d * i)
-        rows.append(dict(data=d, index=i, reads_per_s=round(rps),
-                         efficiency=round(eff, 3)))
+        row = dict(data=d, index=i, reads_per_s=round(rps),
+                   efficiency=round(eff, 3))
+        if eff > 1.1:
+            # Output sanity guard (VERDICT r4 next #8): super-linear
+            # scaling means broken timing, not speedup.
+            row["suspect"] = True
+        rows.append(row)
         print(f"mesh (data={d}, index={i}): {rps:,.0f} reads/s, "
               f"efficiency {eff:.2f} vs {d * i}x single", file=sys.stderr)
 

@@ -49,6 +49,11 @@ def main():
                           n_linear=200 * args.fs_scale, depth_mean=12.0,
                           cfg=cfg)
     index = build_index(sim.genome, cfg)
+    from bench import ntable_cached
+    from find_circ2_tpu.index.hashtable import build_query_table
+    index.qtable = build_query_table(index, cfg)
+    index.qtable.ntable = ntable_cached(index, cfg,
+                                        f"fs|{args.fs_scale}")
     dindex = DeviceIndex.build(sim.genome, index, cfg)
     print(f"setup {time.time() - t0:.1f}s: {len(sim.reads)} reads, "
           f"{len(sim.truths)} truths", file=sys.stderr)

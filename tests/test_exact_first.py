@@ -91,3 +91,41 @@ def test_devindex_auto_builds_ntable():
     dindex = DeviceIndex.build(genome, cfg=CFG)
     assert dindex.ntable is not None
     assert dindex.ntable.shape[0] == dindex.table.shape[0]
+
+
+def test_sharded_fast_equals_classic():
+    """ShardedEngine with exact_first on/off must produce identical
+    result dicts (the K1 v4 psum/pmin combine vs classic enumeration),
+    on a library with errors (fallback slice active)."""
+    from find_circ2_tpu.parallel.mesh import make_mesh
+    from find_circ2_tpu.parallel.sharded import ShardedEngine
+
+    cfg = CFG
+    sim = rnase_r_library(seed=23, chrom_lengths={"chrS": 150_000},
+                          n_circ=15, n_linear=4, depth_mean=3.0,
+                          repeat_frac=0.3, cfg=cfg)
+    index = build_index(sim.genome, cfg)
+    mesh = make_mesh(8)
+    fast = ShardedEngine(sim.genome, index, mesh, cfg, exact_first=True)
+    classic = ShardedEngine(sim.genome, index, mesh, cfg,
+                            exact_first=False)
+    assert fast.fast and not classic.fast
+    from find_circ2_tpu.config import RPAD_CODE
+    from find_circ2_tpu.io.twobit import seq_to_codes
+    kept = [s for _, s in sim.reads
+            if 2 * cfg.anchor_len <= len(s) <= cfg.max_read_len]
+    B = 64
+    reads = np.full((B, cfg.max_read_len), RPAD_CODE, np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i in range(B):
+        codes = seq_to_codes(kept[i % len(kept)])
+        reads[i, :codes.size] = codes
+        lens[i] = codes.size
+    rf = fast.detect(reads, lens)
+    rc = classic.detect(reads, lens)
+    for k in rc:
+        if k == "multi":
+            # bit 3 (overflow flag) is fast-path-only metadata.
+            assert np.array_equal(rf[k] & 7, rc[k] & 7), k
+            continue
+        assert np.array_equal(rf[k], rc[k]), k

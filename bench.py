@@ -433,6 +433,15 @@ def bench_filter_stack(args, cfg, jax):
             dindex.gpacked, dindex.nbases, dindex.table, dindex.meta,
             dindex.ext, dindex.ext_id, dindex.chrom_offsets,
             dummy[:b], jnp.zeros(b, jnp.int32), cfg, True))
+    # Warm the HOST paths too (first-call numpy/enum-cache costs in the
+    # batched rescue, explore fetch, vectorized aggregation): one small
+    # slice of the same library through the full loop into a throwaway
+    # aggregator — the host analog of the jit warmup above.
+    warm = Aggregator(sim.genome, cfg)
+    for call in run_reads(dindex, sim.reads[:2048], cfg, prefilter=True,
+                          slowpath=(sim.genome, index)):
+        warm.add(call)
+    warm.rows(sample_name="warm")
     print(f"bench[filter-stack]: compile+warmup {time.time() - t0:.1f}s",
           file=sys.stderr)
 

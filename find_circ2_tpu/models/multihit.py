@@ -270,14 +270,18 @@ def anchor_candidates_batch(genome: Genome, index: SeedIndex,
     count = hi - lo
     valid = (count > 0) & (count <= cfg.max_bucket)
     positions = index.positions
-    pmax = max(0, positions.size - 1)
-    first = np.where(valid,
-                     positions[np.minimum(lo, pmax)].astype(np.int64), 0)
-    key = ((mm[None, :] * 2 + strand[None, :]) << np.int64(33)) | first
-    key = np.where(valid, key, np.int64(1) << 62)
+    # Gather first positions ONLY for valid variants (a few % of the
+    # 2-mm ball) and pack them into the lexicographic key; the winning
+    # position is recovered from the key's low 33 bits, so the full
+    # [M, W] first-position gather disappears.
+    vi, vj = np.nonzero(valid)
+    key = np.full((M, W), np.int64(1) << 62)
+    key[vi, vj] = (((mm[vj] * 2 + strand[vj]) << np.int64(33))
+                   | positions[lo[vi, vj]].astype(np.int64))
     b = np.argmin(key, axis=1)
     rows = np.arange(M)
     best_mm = mm[b]
+    pos_b = key[rows, b] & ((np.int64(1) << 33) - 1)
     sel_best = valid & (mm[None, :] == best_mm[:, None])
     n_best = (count * sel_best).sum(axis=1)
     others = valid.copy()
@@ -297,7 +301,7 @@ def anchor_candidates_batch(genome: Genome, index: SeedIndex,
             pairs_out[i] = []
             continue
         hits[i] = AnchorHit(
-            aligned=bool(aligned[m]), pos=int(first[m, b[m]]),
+            aligned=bool(aligned[m]), pos=int(pos_b[m]),
             strand=int(strand[b[m]]), mm=int(best_mm[m]),
             n_best=int(n_best[m]), second_mm=int(second_mm[m]),
             qual=int(qual[m]))

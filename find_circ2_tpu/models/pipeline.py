@@ -105,6 +105,24 @@ class DeviceIndex:
         )
 
 
+def revcomp_batch(arr: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Host-side left-aligned reverse complement of an encoded batch.
+
+    detect_core needs each read's rc; computing it ON DEVICE is a
+    [B, Lp] per-element gather with data-dependent indices, which XLA's
+    TPU backend runs ~40x slower than the rest of the core phase
+    (measured 1.8 of the 2.25 us/read core cost — docs/DESIGN.md "XLA
+    pitfalls"). The host computes it vectorized in ~1 ms/batch instead
+    and ships it with the reads; it overlaps device compute exactly
+    like the encode stage."""
+    Lp = arr.shape[1]
+    pos = np.arange(Lp, dtype=np.int64)[None, :]
+    idx = np.clip(lens[:, None] - 1 - pos, 0, Lp - 1)
+    r = np.take_along_axis(arr, idx, axis=1)
+    r = np.where(r < 4, 3 - r, r)
+    return np.where(pos < lens[:, None], r, RPAD_CODE).astype(np.uint8)
+
+
 def _full_read_mm(gpacked: jnp.ndarray, nbases: int, query: jnp.ndarray,
                   start: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
     """Hamming(query[:l], genome[start:start+l]) per row (SPEC.md §6)."""
@@ -131,6 +149,7 @@ def detect_batch(
     lens: jnp.ndarray,         # int32 [B]; rows with lens==0 are padding
     cfg: Config,
     prefilter: bool = True,
+    rc: jnp.ndarray | None = None,
 ):
     """Full per-batch detection step in ONE jitted program: K1 anchor
     alignment (hash-table lookups), best-hit finalize, pairing +
@@ -139,7 +158,7 @@ def detect_batch(
     hits_a, hits_b = align_anchor_pair(table, meta, anchors_a, anchors_b,
                                        cfg)
     return detect_core(gpacked, nbases, chrom_offsets, reads, lens,
-                       hits_a, hits_b, cfg, prefilter)
+                       hits_a, hits_b, cfg, prefilter, rc=rc)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -158,13 +177,13 @@ def _align_phase_fast(table, ntable, meta, reads, lens, cfg):
 
 @partial(jax.jit, static_argnames=("cfg", "prefilter", "nbases"))
 def _core_phase(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
-                hits_b, cfg, prefilter):
+                hits_b, cfg, prefilter, rc=None):
     return detect_core(gpacked, nbases, chrom_offsets, reads, lens,
-                       hits_a, hits_b, cfg, prefilter)
+                       hits_a, hits_b, cfg, prefilter, rc=rc)
 
 
 def detect_batch_phased(dindex: "DeviceIndex", reads, lens, cfg: Config,
-                        prefilter: bool = True):
+                        prefilter: bool = True, rc=None):
     """Two-program detection step (K1+finalize, then core). Identical
     results to `detect_batch`; kept split so each program stays on XLA's
     fast emitters (docs/DESIGN.md "XLA pitfalls"). Rides the K1 v4
@@ -180,7 +199,7 @@ def detect_batch_phased(dindex: "DeviceIndex", reads, lens, cfg: Config,
                                       lens, cfg)
     return _core_phase(dindex.gpacked, dindex.nbases,
                        dindex.chrom_offsets, reads, lens, hits_a, hits_b,
-                       cfg, prefilter)
+                       cfg, prefilter, rc)
 
 
 # Column order of the packed per-read result row (host readback format).
@@ -191,7 +210,8 @@ PACK_FIELDS = ("status", "kind", "chrom", "start", "end", "sense",
 
 @partial(jax.jit, static_argnames=("cfg", "prefilter", "nbases"))
 def detect_batch_packed(gpacked, nbases, table, meta, chrom_offsets,
-                        reads, lens, cfg: Config, prefilter: bool = True):
+                        reads, lens, cfg: Config, prefilter: bool = True,
+                        rc=None):
     """Full detection step returning ONE int32 [B, 13] array.
 
     Host<->device round trips on a tunneled device cost ~28 ms each, so
@@ -202,7 +222,7 @@ def detect_batch_packed(gpacked, nbases, table, meta, chrom_offsets,
     hits_a, hits_b = align_anchor_pair(table, meta, anchors_a, anchors_b,
                                        cfg)
     res = detect_core(gpacked, nbases, chrom_offsets, reads, lens,
-                      hits_a, hits_b, cfg, prefilter)
+                      hits_a, hits_b, cfg, prefilter, rc=rc)
     sig = res["signal"].astype(jnp.int32)
     sig_packed = (sig[:, 0] | (sig[:, 1] << 3) | (sig[:, 2] << 6)
                   | (sig[:, 3] << 9))
@@ -214,7 +234,7 @@ def detect_batch_packed(gpacked, nbases, table, meta, chrom_offsets,
 @partial(jax.jit, static_argnames=("cfg", "prefilter", "nbases"))
 def detect_batch_packed_fast(gpacked, nbases, table, ntable, meta,
                              chrom_offsets, reads, lens, cfg: Config,
-                             prefilter: bool = True):
+                             prefilter: bool = True, rc=None):
     """detect_batch_packed on the K1 v4 exact-first align path.
 
     Bit-identical rows, except the packed `multi` column additionally
@@ -228,7 +248,7 @@ def detect_batch_packed_fast(gpacked, nbases, table, ntable, meta,
     hits_a, hits_b, overflow = align_anchor_pair_fast(
         table, ntable, meta, anchors_a, anchors_b, cfg)
     res = detect_core(gpacked, nbases, chrom_offsets, reads, lens,
-                      hits_a, hits_b, cfg, prefilter)
+                      hits_a, hits_b, cfg, prefilter, rc=rc)
     res["multi"] = res["multi"] | (overflow.astype(jnp.int32) << 3)
     sig = res["signal"].astype(jnp.int32)
     sig_packed = (sig[:, 0] | (sig[:, 1] << 3) | (sig[:, 2] << 6)
@@ -243,15 +263,16 @@ def dispatch_packed(dindex: "DeviceIndex", arr, lens, cfg: Config,
     """Default single-chip packed dispatch for the streaming loops:
     exact-first when the index carries a neighbor table, classic
     otherwise. Pair with `redo_if_overflow` at consume time."""
+    rc = jnp.asarray(revcomp_batch(np.asarray(arr), np.asarray(lens)))
     if dindex.ntable is not None:
         return detect_batch_packed_fast(
             dindex.gpacked, dindex.nbases, dindex.table, dindex.ntable,
             dindex.meta, dindex.chrom_offsets, jnp.asarray(arr),
-            jnp.asarray(lens), cfg, prefilter)
+            jnp.asarray(lens), cfg, prefilter, rc=rc)
     return detect_batch_packed(
         dindex.gpacked, dindex.nbases, dindex.table, dindex.meta,
         dindex.chrom_offsets, jnp.asarray(arr), jnp.asarray(lens), cfg,
-        prefilter)
+        prefilter, rc=rc)
 
 
 def redo_if_overflow(dindex: "DeviceIndex", res: dict, arr, lens,
@@ -263,10 +284,11 @@ def redo_if_overflow(dindex: "DeviceIndex", res: dict, arr, lens,
     if dindex is None or dindex.ntable is None or arr is None \
             or not (res["multi"] & 8).any():
         return res
+    rc = jnp.asarray(revcomp_batch(np.asarray(arr), np.asarray(lens)))
     packed = detect_batch_packed(
         dindex.gpacked, dindex.nbases, dindex.table, dindex.meta,
         dindex.chrom_offsets, jnp.asarray(arr), jnp.asarray(lens), cfg,
-        prefilter)
+        prefilter, rc=rc)
     return unpack_results(np.asarray(packed))
 
 
@@ -366,22 +388,33 @@ class DeviceExplorer:
 
 
 def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
-                hits_b, cfg: Config, prefilter: bool):
+                hits_b, cfg: Config, prefilter: bool, rc=None):
     """Pairing, prefilter, K2 and status resolution given anchor hits.
 
     Row status follows the oracle's priority order exactly [FROZEN]:
     prefiltered > unaligned_A > unaligned_B > diff_strand > diff_chrom >
     anchors_overlap > no_junction > junction.
+
+    `rc`: each read's left-aligned reverse complement. Pass the
+    host-computed batch (revcomp_batch) on the hot paths — the on-device
+    construction below is a data-dependent [B, Lp] gather that costs
+    more than the rest of the core phase combined (docs/DESIGN.md "XLA
+    pitfalls"); it is kept as the rc=None fallback so callers without a
+    host-side batch (explore-sized paths, legacy entry points) stay
+    correct.
     """
     B, Lp = reads.shape
     a = cfg.anchor_len
     pos_ax = jnp.arange(Lp, dtype=jnp.int32)[None, :]
 
-    # Left-aligned reverse complement of each read.
-    rc_idx = jnp.clip(lens[:, None] - 1 - pos_ax, 0, Lp - 1)
-    rc = jnp.take_along_axis(reads, rc_idx, axis=1).astype(jnp.int32)
-    rc = jnp.where(rc < 4, 3 - rc, rc)
-    rc = jnp.where(pos_ax < lens[:, None], rc, RPAD_CODE).astype(jnp.uint8)
+    if rc is None:
+        # Left-aligned reverse complement of each read (slow on TPU —
+        # see docstring).
+        rc_idx = jnp.clip(lens[:, None] - 1 - pos_ax, 0, Lp - 1)
+        rc = jnp.take_along_axis(reads, rc_idx, axis=1).astype(jnp.int32)
+        rc = jnp.where(rc < 4, 3 - rc, rc)
+        rc = jnp.where(pos_ax < lens[:, None], rc,
+                       RPAD_CODE).astype(jnp.uint8)
 
     # --- pass-1 contiguous prefilter (SPEC.md §6) -----------------------
     # All global-position arithmetic stays in uint32 (positions reach

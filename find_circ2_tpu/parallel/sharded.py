@@ -45,7 +45,7 @@ def _data_axes(mesh: Mesh):
 
 
 def _detect(gpacked, tables, metas, chrom_offsets, reads, lens, cfg,
-            prefilter, nbases):
+            prefilter, nbases, rc=None):
     """Shared shard_map body (classic K1): cross-index-shard
     collectives, then the replicated-core detection. The K1 v4
     exact-first variant lives in sharded_detect_fn(fast=True); the
@@ -57,7 +57,7 @@ def _detect(gpacked, tables, metas, chrom_offsets, reads, lens, cfg,
     hits_a, hits_b = align_anchor_pair(table_l, meta_l, anchors_a,
                                        anchors_b, cfg, axis_name="index")
     return detect_core(gpacked, nbases, chrom_offsets, reads, lens,
-                       hits_a, hits_b, cfg, prefilter)
+                       hits_a, hits_b, cfg, prefilter, rc=rc)
 
 
 def sharded_detect_fn(mesh: Mesh, cfg: Config, nbases: int,
@@ -88,7 +88,7 @@ def sharded_detect_fn(mesh: Mesh, cfg: Config, nbases: int,
 
     if fast:
         def step(gpacked, tables, ntables, metas, chrom_offsets, reads,
-                 lens):
+                 lens, rc):
             from find_circ2_tpu.ops.anchor_align import \
                 align_anchor_pair_fast
             anchors_a, anchors_b = read_anchors(reads, lens, cfg)
@@ -96,20 +96,23 @@ def sharded_detect_fn(mesh: Mesh, cfg: Config, nbases: int,
                 tables[0], ntables[0], metas[0], anchors_a, anchors_b,
                 cfg, axis_name="index")
             res = detect_core(gpacked, nbases, chrom_offsets, reads,
-                              lens, hits_a, hits_b, cfg, prefilter)
+                              lens, hits_a, hits_b, cfg, prefilter,
+                              rc=rc)
             res["multi"] = res["multi"] | (overflow.astype(jnp.int32)
                                            << 3)
             return pack(res) if packed else res
 
         in_specs = (P(), P("index"), P("index"), P("index"), P(),
-                    P(da), P(da))
+                    P(da), P(da), P(da))
     else:
-        def step(gpacked, tables, metas, chrom_offsets, reads, lens):
+        def step(gpacked, tables, metas, chrom_offsets, reads, lens,
+                 rc):
             res = _detect(gpacked, tables, metas, chrom_offsets, reads,
-                          lens, cfg, prefilter, nbases)
+                          lens, cfg, prefilter, nbases, rc=rc)
             return pack(res) if packed else res
 
-        in_specs = (P(), P("index"), P("index"), P(), P(da), P(da))
+        in_specs = (P(), P("index"), P("index"), P(), P(da), P(da),
+                    P(da))
 
     smapped = jax.shard_map(
         step,
@@ -212,34 +215,39 @@ class ShardedEngine:
             genome.chrom_offsets.astype(np.uint32), P())
 
     def _put_batch(self, reads: np.ndarray, lens: np.ndarray):
-        """Place a batch with the data sharding. Single-process: plain
-        device_put of the global array. Multi-process: `reads`/`lens` are
-        this process's LOCAL slice of the global batch (global batch =
+        """Place a batch (+ its host-computed rc, pipeline.revcomp_batch
+        — the on-device construction is the slowest op in the core
+        phase) with the data sharding. Single-process: plain device_put
+        of the global array. Multi-process: `reads`/`lens` are this
+        process's LOCAL slice of the global batch (global batch =
         concatenation over process index)."""
-        sh_r = NamedSharding(self.mesh, self._data_spec)
-        sh_l = NamedSharding(self.mesh, self._data_spec)
+        from find_circ2_tpu.models.pipeline import revcomp_batch
+        rc = revcomp_batch(reads, lens)
+        sh = NamedSharding(self.mesh, self._data_spec)
         if jax.process_count() > 1:
-            return (jax.make_array_from_process_local_data(sh_r, reads),
-                    jax.make_array_from_process_local_data(sh_l, lens))
-        return jax.device_put(reads, sh_r), jax.device_put(lens, sh_l)
+            return (jax.make_array_from_process_local_data(sh, reads),
+                    jax.make_array_from_process_local_data(sh, lens),
+                    jax.make_array_from_process_local_data(sh, rc))
+        return (jax.device_put(reads, sh), jax.device_put(lens, sh),
+                jax.device_put(rc, sh))
 
-    def _args(self, reads_d, lens_d, classic: bool = False):
+    def _args(self, reads_d, lens_d, rc_d, classic: bool = False):
         if self.fast and not classic:
             return (self.gpacked, self.tables, self.ntables, self.metas,
-                    self.chrom_offsets, reads_d, lens_d)
+                    self.chrom_offsets, reads_d, lens_d, rc_d)
         return (self.gpacked, self.tables, self.metas,
-                self.chrom_offsets, reads_d, lens_d)
+                self.chrom_offsets, reads_d, lens_d, rc_d)
 
     def detect(self, reads: np.ndarray, lens: np.ndarray):
         """reads uint8 [B, Lp], lens int32 [B]; B % n_data == 0.
         Synchronous; transparently redoes a fallback-overflow batch on
         the classic program (multi bit 3, K1 v4)."""
-        reads_d, lens_d = self._put_batch(reads, lens)
-        out = self.fn(*self._args(reads_d, lens_d))
+        reads_d, lens_d, rc_d = self._put_batch(reads, lens)
+        out = self.fn(*self._args(reads_d, lens_d, rc_d))
         out = {k: np.asarray(v) for k, v in out.items()}
         if self.fast and (out["multi"] & 8).any():
             packed = self.classic_packed_fn(
-                *self._args(reads_d, lens_d, classic=True))
+                *self._args(reads_d, lens_d, rc_d, classic=True))
             from find_circ2_tpu.models.pipeline import unpack_results
             out = unpack_results(np.asarray(packed))
         return out
@@ -250,20 +258,20 @@ class ShardedEngine:
         must pair with `redo_packed` on the multi-bit-3 overflow flag
         (the streaming loops do — pipeline.run_reads/stream.run_fastq
         `redo`)."""
-        reads_d, lens_d = self._put_batch(reads, lens)
-        return self.packed_fn(*self._args(reads_d, lens_d))
+        reads_d, lens_d, rc_d = self._put_batch(reads, lens)
+        return self.packed_fn(*self._args(reads_d, lens_d, rc_d))
 
     def redo_packed(self, reads: np.ndarray, lens: np.ndarray):
         """Classic-program packed dispatch (fallback-overflow redo)."""
         if not self.fast:
             return self.dispatch_packed(reads, lens)
-        reads_d, lens_d = self._put_batch(reads, lens)
+        reads_d, lens_d, rc_d = self._put_batch(reads, lens)
         return self.classic_packed_fn(
-            *self._args(reads_d, lens_d, classic=True))
+            *self._args(reads_d, lens_d, rc_d, classic=True))
 
     def detect_merged(self, reads: np.ndarray, lens: np.ndarray):
         """Full sharded detect + on-device collective junction merge."""
-        reads_d, lens_d = self._put_batch(reads, lens)
+        reads_d, lens_d, _ = self._put_batch(reads, lens)
         out = self.merge_fn(self.gpacked, self.tables, self.metas,
                             self.chrom_offsets, reads_d, lens_d)
         return {k: np.asarray(v) for k, v in out.items()}

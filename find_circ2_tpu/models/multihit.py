@@ -116,7 +116,14 @@ def _segmented_searchsorted(sv: np.ndarray, lo_b: np.ndarray,
     == left_insertion(k+1), so ONE combined program computes both
     bounds; (b) rows that converge (prefix buckets average ~4 entries;
     only repeat-heavy buckets need many rounds) are compacted out of the
-    active set, so late rounds touch only the few large segments."""
+    active set, so late rounds touch only the few large segments.
+
+    When the native library is present the whole search runs in C
+    (native.segsearch, bit-identical contract) — one tight loop beats
+    the vectorized rounds by ~10x on the 2-mm rescue ball."""
+    from find_circ2_tpu import native
+    if sv.dtype == np.uint16 and native.available():
+        return native.segsearch(sv, lo_b, hi_b, keys)
     K = keys.size
     lo = np.tile(lo_b.astype(np.int64), 2)
     hi_a = np.tile(hi_b.astype(np.int64), 2)
@@ -295,6 +302,28 @@ def anchor_candidates_batch(genome: Genome, index: SeedIndex,
     has = valid.any(axis=1)
     aligned = (best_mm <= max(cfg.max_anchor_mm, ball)) & has
     K = cfg.max_pair_hits
+    # Candidate pair lists, vectorized: expand every best-mm variant's
+    # position run [lo, hi) in one ragged gather, lexsort globally by
+    # (read, strand, pos) — identical to the old per-read
+    # sorted((strand, pos)) since variant position sets are disjoint —
+    # then slice the first K per read.
+    mi, vi = np.nonzero(sel_best)
+    c = count[mi, vi]
+    tot = int(c.sum())
+    if tot:
+        k_of = np.repeat(np.arange(c.size), c)
+        cs = np.concatenate([[0], np.cumsum(c)[:-1]])
+        flat = lo[mi, vi][k_of] + (np.arange(tot) - cs[k_of])
+        pos_f = positions[flat].astype(np.int64)
+        str_f = strand[vi][k_of]
+        m_f = mi[k_of]
+        order = np.lexsort((pos_f, str_f, m_f))
+        pos_l = pos_f[order].tolist()
+        str_l = str_f[order].tolist()
+        bounds = np.searchsorted(m_f[order], np.arange(M + 1))
+    else:
+        bounds = np.zeros(M + 1, np.int64)
+        pos_l = str_l = []
     for m, i in enumerate(ok):
         if not has[m]:
             hits[i] = AnchorHit(aligned=False)
@@ -305,10 +334,9 @@ def anchor_candidates_batch(genome: Genome, index: SeedIndex,
             strand=int(strand[b[m]]), mm=int(best_mm[m]),
             n_best=int(n_best[m]), second_mm=int(second_mm[m]),
             qual=int(qual[m]))
-        prs = sorted((int(strand[v]), int(p))
-                     for v in np.flatnonzero(sel_best[m])
-                     for p in positions[lo[m, v]:hi[m, v]])
-        pairs_out[i] = prs[:K]
+        s, e = int(bounds[m]), int(bounds[m + 1])
+        e = min(e, s + K)
+        pairs_out[i] = list(zip(str_l[s:e], pos_l[s:e]))
     return hits, pairs_out
 
 

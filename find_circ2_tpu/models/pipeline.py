@@ -386,6 +386,43 @@ class DeviceExplorer:
                        for i, (name, seq) in enumerate(part))
         return out
 
+    def dispatch_arrays(self, arr: np.ndarray, lens: np.ndarray):
+        """Array-mode dispatch: routed reads as already-encoded rows
+        (uint8 [n, Lp] + int32 [n]) — the streaming loop's batch encode
+        is reused instead of re-encoding from strings, and `fetch_arrays`
+        returns unpacked result arrays for the vectorized aggregation
+        path (Aggregator.add_batch) instead of per-read ReadCalls."""
+        cfg = self.cfg
+        d = self.dindex
+        from find_circ2_tpu.ops.explore import explore_batch_packed
+        chunks = []
+        for lo in range(0, arr.shape[0], self.BUCKETS[-1]):
+            part = arr[lo:lo + self.BUCKETS[-1]]
+            n = part.shape[0]
+            bs = next(b for b in self.BUCKETS if b >= n)
+            rows = np.full((bs, arr.shape[1]), RPAD_CODE, np.uint8)
+            rows[:n] = part
+            blens = np.zeros(bs, np.int32)
+            blens[:n] = lens[lo:lo + n]
+            packed = explore_batch_packed(
+                d.gpacked, d.nbases, d.table, d.meta, d.ext, d.ext_id,
+                d.chrom_offsets, jnp.asarray(rows), jnp.asarray(blens),
+                cfg, self.prefilter)
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
+            chunks.append((n, packed))
+        return chunks
+
+    def fetch_arrays(self, chunks) -> dict:
+        """Block on a dispatch_arrays handle; returns the unpacked
+        result arrays concatenated over chunks (row i = routed read i)."""
+        outs = [(n, unpack_results(np.asarray(packed)))
+                for n, packed in chunks]
+        return {k: np.concatenate([o[k][:n] for n, o in outs])
+                for k in outs[0][1]}
+
 
 def detect_core(gpacked, nbases, chrom_offsets, reads, lens, hits_a,
                 hits_b, cfg: Config, prefilter: bool, rc=None):

@@ -121,9 +121,26 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
             else contextlib.nullcontext()
 
     def finalize() -> None:
-        batch_id, n_reads, counts, batch_calls, handle = \
+        batch_id, n_reads, counts, batch_calls, handle, rhashes = \
             finishing.popleft()
-        if handle is not None:
+        if handle is not None and rhashes is not None:
+            # Array-mode explore results: vectorized aggregation via
+            # add_batch (same hashes the detect rows used), statuses
+            # counted in bulk — no per-read ReadCall/seq_hash cost.
+            with timed("explore_multihit"):
+                resx = explorer.fetch_arrays(handle)
+            with timed("aggregate"):
+                st_x = resx["status"]
+                jm = st_x == ST_JUNCTION
+                agg.add_batch(resx, np.flatnonzero(jm), rhashes[jm])
+                n_rest = int(st_x.size - jm.sum())
+                if n_rest:
+                    agg.stats.add("reads_total", n_rest)
+                    rest = st_x[~jm]
+                    for st in np.unique(rest):
+                        agg.stats.add_status(int(st),
+                                             int((rest == st).sum()))
+        elif handle is not None:
             with timed("explore_multihit"):
                 batch_calls = batch_calls + explorer.fetch(handle)
         with timed("aggregate"):
@@ -210,6 +227,7 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
 
             batch_calls: list[ReadCall] = []
             routed: list[tuple[str, str]] = []
+            ridx_route = np.nonzero(route)[0]
             jidx = np.nonzero((status == ST_JUNCTION) & ~route)[0]
             if journal is None:
                 # Vectorized junction aggregation: one update per
@@ -235,19 +253,27 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
                     qual_right=int(res["qual_right"][i]),
                     signal=codes_to_seq(res["signal"][i]),
                 ))
-        for i in np.nonzero(route)[0]:
-            name, seq = read_name(i), read_seq(i)
-            # SPEC §2b multi-hit pair exploration: device program
-            # (ops/explore.py) or the vectorized host twin
-            # (models/multihit.py).
-            if explorer is not None:
-                routed.append((name, seq))
-                continue
-            from find_circ2_tpu.models.multihit import call_read_multi
-            with timed("slowpath_multihit"):
-                batch_calls.append(call_read_multi(
-                    slowpath[0], slowpath[1], name, seq, cfg,
-                    prefilter))
+        rhashes = None
+        if explorer is not None and journal is None:
+            # Array-mode explore: reuse the batch's encoded rows and
+            # their precomputed hashes — the finalize stage aggregates
+            # the unpacked result arrays directly (add_batch), no
+            # per-read string decode / ReadCall / scalar seq_hash.
+            rhashes = hashes[ridx_route]
+        else:
+            for i in ridx_route:
+                name, seq = read_name(i), read_seq(i)
+                # SPEC §2b multi-hit pair exploration: device program
+                # (ops/explore.py) or the vectorized host twin
+                # (models/multihit.py).
+                if explorer is not None:
+                    routed.append((name, seq))
+                    continue
+                from find_circ2_tpu.models.multihit import call_read_multi
+                with timed("slowpath_multihit"):
+                    batch_calls.append(call_read_multi(
+                        slowpath[0], slowpath[1], name, seq, cfg,
+                        prefilter))
         ridx = np.nonzero(rescue)[0]
         if ridx.size:
             # ONE vectorized host program for the whole batch's rescued
@@ -260,11 +286,17 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
                 batch_calls.extend(call_reads_multi_batch(
                     slowpath[0], slowpath[1], items, cfg, prefilter))
         handle = None
-        if routed:
+        if rhashes is not None and ridx_route.size:
+            with timed("explore_dispatch"):
+                handle = explorer.dispatch_arrays(arr[ridx_route],
+                                                  blens[ridx_route])
+        elif rhashes is not None:
+            rhashes = None
+        elif routed:
             with timed("explore_dispatch"):
                 handle = explorer.dispatch(routed)
         finishing.append((batch_id, int(sel.size), counts,
-                          batch_calls, handle))
+                          batch_calls, handle, rhashes))
         # Keep one explore-pending batch in flight so its program
         # overlaps the next detect batch.
         while len(finishing) > 1:

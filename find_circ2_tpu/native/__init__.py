@@ -57,6 +57,10 @@ def _load():
         ctypes.c_char_p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_ubyte)]
+    lib.fc2_segsearch.restype = None
+    lib.fc2_segsearch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16), i64p, i64p, i64p,
+        ctypes.c_int64, i64p, i64p]
     _lib = lib
     return _lib
 
@@ -90,6 +94,27 @@ def parse_fastq(buf: bytes, max_records: int = 1 << 20):
         raise ValueError(f"malformed FASTQ near byte {-(n + 1)}")
     spans = np.stack([c[:n] for c in cols], axis=1)
     return spans, int(resume.value)
+
+
+def segsearch(sv: np.ndarray, lo_b: np.ndarray, hi_b: np.ndarray,
+              keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(left, right) insertion points of keys[i] in the sorted uint16
+    segment sv[lo_b[i]:hi_b[i]) — the native twin of
+    models/multihit._segmented_searchsorted's numpy formulation."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    assert sv.dtype == np.uint16 and sv.flags.c_contiguous
+    lo_b = np.ascontiguousarray(lo_b, np.int64)
+    hi_b = np.ascontiguousarray(hi_b, np.int64)
+    keys = np.ascontiguousarray(keys, np.int64)
+    n = keys.size
+    out_lo = np.empty(n, np.int64)
+    out_hi = np.empty(n, np.int64)
+    lib.fc2_segsearch(
+        _ptr(sv, ctypes.c_uint16), _ptr(lo_b, ctypes.c_int64),
+        _ptr(hi_b, ctypes.c_int64), _ptr(keys, ctypes.c_int64), n,
+        _ptr(out_lo, ctypes.c_int64), _ptr(out_hi, ctypes.c_int64))
+    return out_lo, out_hi
 
 
 def encode_reads(buf: bytes, seq_start: np.ndarray, seq_end: np.ndarray,

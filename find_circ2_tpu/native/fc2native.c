@@ -102,3 +102,32 @@ void fc2_revcomp(const unsigned char *in, int64_t l,
     for (int64_t i = 0; i < l; i++)
         out[i] = comp[in[l - 1 - i]];
 }
+
+/* Segmented binary search over the seed index suffix array: for each
+ * key i, the (left, right) insertion points of keys[i] within the
+ * sorted uint16 segment sv[lo_b[i]:hi_b[i]).  The host 2-mm rescue
+ * path (models/multihit._segmented_searchsorted) resolves the whole
+ * enumerated variant ball through this — one tight loop instead of
+ * vectorized numpy rounds (the reference leaned on bowtie2's C FM-index
+ * walk for the same role, SURVEY.md §3.4).  right(k) == left(k+1) on
+ * integer keys, and the right bound search resumes from the left bound.
+ */
+void fc2_segsearch(const uint16_t *sv, const int64_t *lo_b,
+                   const int64_t *hi_b, const int64_t *keys, int64_t n,
+                   int64_t *out_lo, int64_t *out_hi) {
+    for (int64_t i = 0; i < n; i++) {
+        int64_t lo = lo_b[i], hi = hi_b[i];
+        const int64_t k = keys[i];
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if ((int64_t)sv[mid] < k) lo = mid + 1; else hi = mid;
+        }
+        out_lo[i] = lo;
+        hi = hi_b[i];
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if ((int64_t)sv[mid] < k + 1) lo = mid + 1; else hi = mid;
+        }
+        out_hi[i] = lo;
+    }
+}

@@ -127,6 +127,51 @@ def test_run_fastq_stream_matches_run_reads(lib_ok, tmp_path):
     assert stats1 == stats2
 
 
+def test_run_fastq_array_explore_matches_run_reads(lib_ok, tmp_path):
+    """The streaming loop's array-mode explore aggregation (r5:
+    DeviceExplorer.dispatch_arrays + Aggregator.add_batch, no per-read
+    ReadCall/seq_hash) must be byte-identical to run_reads' per-read
+    path on a repeat-heavy library that routes reads through §2b."""
+    import io as _io
+    from find_circ2_tpu.config import Config
+    from find_circ2_tpu.index.build import build_index
+    from find_circ2_tpu.io.bed import write_bed
+    from find_circ2_tpu.models.aggregate import Aggregator
+    from find_circ2_tpu.models.pipeline import DeviceIndex, run_reads
+    from find_circ2_tpu.models.stream import run_fastq
+    from find_circ2_tpu.utils.simulate import rnase_r_library
+
+    cfg = Config(batch_size=256)
+    sim = rnase_r_library(seed=13, chrom_lengths={"chrE": 400_000},
+                          n_circ=60, n_linear=10, depth_mean=6.0,
+                          cfg=cfg)
+    idx = build_index(sim.genome, cfg)
+    dindex = DeviceIndex.build(sim.genome, idx, cfg)
+    assert dindex.ext is not None
+    slow = (sim.genome, idx)
+
+    fq = tmp_path / "lib.fastq"
+    with open(fq, "wt") as fh:
+        for name, seq in sim.reads:
+            write_fastq(fh, FastqRecord(name, seq, "I" * len(seq)))
+
+    agg1 = Aggregator(sim.genome, cfg)
+    for c in run_reads(dindex, sim.reads, cfg, slowpath=slow):
+        agg1.add(c)
+    agg2 = Aggregator(sim.genome, cfg)
+    run_fastq(dindex, fq, agg2, cfg, slowpath=slow)
+
+    def render(agg):
+        buf = _io.StringIO()
+        write_bed(buf, agg.rows("s"))
+        return buf.getvalue(), sorted(agg.stats.counts.items())
+
+    bed1, stats1 = render(agg1)
+    bed2, stats2 = render(agg2)
+    assert bed1 == bed2
+    assert stats1 == stats2
+
+
 def test_run_fastq_journal_resume_and_gzip(lib_ok, tmp_path):
     """Fast-path resume (SPEC journal on the native path) + gzip input:
     a run killed mid-stream and rerun from its journal must produce

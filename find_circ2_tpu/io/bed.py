@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import io
 import os
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from collections.abc import Iterable, Iterator
 
 from find_circ2_tpu.config import BED_COLUMNS
@@ -105,13 +105,14 @@ def renumber(rows: list[JunctionRow], prefix: str) -> list[JunctionRow]:
     """Sort rows by (chrom,start,end,strand) and assign frozen names.
 
     Circular rows get `<prefix>circ_<i:06d>`, linear `<prefix>norm_<i:06d>`
-    (SPEC.md §5); the kind is read from the category flags.
+    (SPEC.md §5); the kind is read from the category flags. Names are
+    assigned IN PLACE (every caller passes freshly built rows; a
+    dataclasses.replace per row dominated the final-table stage).
     """
     rows = sorted(rows, key=JunctionRow.key)
-    out = []
     counters = {"circ": 0, "norm": 0}
     for row in rows:
         kind = "circ" if "CIRCULAR" in row.category.split(",") else "norm"
         counters[kind] += 1
-        out.append(replace(row, name=f"{prefix}{kind}_{counters[kind]:06d}"))
-    return out
+        row.name = f"{prefix}{kind}_{counters[kind]:06d}"
+    return rows

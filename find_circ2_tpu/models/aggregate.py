@@ -177,14 +177,13 @@ class Aggregator:
 
         `res` is pipeline.unpack_results output, `idx` the row indices
         to aggregate (all must have status == ST_JUNCTION), `seq_hashes`
-        the `seq_hash_batch` values aligned with `idx`. Pure numpy —
-        per-batch summaries are buffered and merged into the junction
-        dict by `_drain_batches` in ONE pass over globally-distinct
-        junctions (instead of a python loop per batch x distinct).
-        Bit-identical to looping `add` (all accumulators are commutative
-        ints/sets, and `signal` is a pure function of the junction key,
-        so merge order is immaterial; tests/test_native.py pins BED
-        equality)."""
+        the `seq_hash_batch` values aligned with `idx`. Raw columns are
+        buffered; ALL grouping happens in `_drain_batches` as one global
+        group-by over every buffered read (one np.unique instead of one
+        per batch). Bit-identical to looping `add` (all accumulators are
+        commutative ints/sets, and `signal` is a pure function of the
+        junction key, so merge order is immaterial; tests/test_native.py
+        pins BED equality)."""
         import numpy as np
 
         n = len(idx)
@@ -192,116 +191,121 @@ class Aggregator:
             return
         self.stats.add("reads_total", n)
         self.stats.add_status(ST_JUNCTION, n)
-        kind = res["kind"][idx]
-        chrom = res["chrom"][idx]
-        start = res["start"][idx].astype(np.int64)
-        end = res["end"][idx].astype(np.int64)
-        sense = res["sense"][idx]
-        ql = res["qual_left"][idx]
-        qr = res["qual_right"][idx]
+        kind = res["kind"][idx].astype(np.int64)
         n_circ = int((kind == KIND_CIRCULAR).sum())
         if n_circ:
             self.stats.add("circular_reads", n_circ)
         if n - n_circ:
             self.stats.add("linear_reads", n - n_circ)
-
-        keys = np.stack([kind.astype(np.int64), chrom.astype(np.int64),
-                         start, end, sense.astype(np.int64)], axis=1)
-        uk, inv = np.unique(keys, axis=0, return_inverse=True)
-        U = uk.shape[0]
-        nb = np.bincount(inv, minlength=U)
-        uniq = self.cfg.min_uniq_qual
-        bridges = np.bincount(inv, weights=(ql >= uniq) & (qr >= uniq),
-                              minlength=U).astype(np.int64)
-        smatch = np.bincount(inv, weights=sense == res["align_strand"][idx],
-                             minlength=U).astype(np.int64)
-        ql_max = np.zeros(U, np.int64)
-        qr_max = np.zeros(U, np.int64)
-        np.maximum.at(ql_max, inv, ql)
-        np.maximum.at(qr_max, inv, qr)
-        e_min = np.full(U, 1 << 30)
-        o_min = np.full(U, 1 << 30)
-        b_min = np.full(U, 1 << 30)
-        np.minimum.at(e_min, inv, res["edits"][idx])
-        np.minimum.at(o_min, inv, res["overlap"][idx])
-        np.minimum.at(b_min, inv, res["n_bp"][idx])
-        first = np.zeros(U, np.int64)
-        rev = np.arange(len(inv) - 1, -1, -1)
-        first[inv[rev]] = np.asarray(idx)[rev]      # first read per group
         self._batches.append(dict(
-            uk=uk, nb=nb, bridges=bridges, smatch=smatch, ql=ql_max,
-            qr=qr_max, e=e_min, o=o_min, b=b_min,
-            signal=res["signal"][first]))
-        self._batch_pairs.append(
-            np.stack([inv.astype(np.uint64),
-                      np.asarray(seq_hashes, np.uint64)], axis=1))
+            kind=kind,
+            chrom=res["chrom"][idx].astype(np.int64),
+            start=res["start"][idx].astype(np.int64),
+            end=res["end"][idx].astype(np.int64),
+            sense=res["sense"][idx].astype(np.int64),
+            ql=res["qual_left"][idx].astype(np.int64),
+            qr=res["qual_right"][idx].astype(np.int64),
+            e=res["edits"][idx].astype(np.int64),
+            o=res["overlap"][idx].astype(np.int64),
+            b=res["n_bp"][idx].astype(np.int64),
+            smatch=(res["sense"][idx]
+                    == res["align_strand"][idx]).astype(np.int64),
+            signal=res["signal"][idx],
+            hash=np.asarray(seq_hashes, np.uint64)))
 
     def _drain_batches(self) -> None:
-        """Merge buffered add_batch summaries into the junction dict."""
+        """Merge the buffered read columns into the junction dict: one
+        global group-by over all buffered junction reads."""
         import numpy as np
-        from find_circ2_tpu.io.twobit import codes_to_seq
         if not self._batches:
             return
-        offs = np.cumsum([0] + [b["uk"].shape[0] for b in self._batches])
-        allk = np.concatenate([b["uk"] for b in self._batches])
+
+        def col(field):
+            return np.concatenate([b[field] for b in self._batches])
+
+        allk = np.stack([col("kind"), col("chrom"), col("start"),
+                         col("end"), col("sense")], axis=1)
         guk, ginv = np.unique(allk, axis=0, return_inverse=True)
         G = guk.shape[0]
 
-        def seg_sum(field):
-            v = np.concatenate([b[field] for b in self._batches])
+        def seg_sum(v):
             out = np.zeros(G, np.int64)
             np.add.at(out, ginv, v)
             return out
 
-        def seg_opt(field, op, init):
-            v = np.concatenate([b[field] for b in self._batches])
+        def seg_opt(v, op, init):
             out = np.full(G, init, np.int64)
             op.at(out, ginv, v)
             return out
 
-        nb = seg_sum("nb")
-        bridges = seg_sum("bridges")
-        smatch = seg_sum("smatch")
-        ql = seg_opt("ql", np.maximum, 0)
-        qr = seg_opt("qr", np.maximum, 0)
-        e = seg_opt("e", np.minimum, 1 << 30)
-        o = seg_opt("o", np.minimum, 1 << 30)
-        bmin = seg_opt("b", np.minimum, 1 << 30)
+        uniq = self.cfg.min_uniq_qual
+        ql_c, qr_c = col("ql"), col("qr")
+        nb = np.bincount(ginv, minlength=G).astype(np.int64)
+        bridges = seg_sum((ql_c >= uniq) & (qr_c >= uniq))
+        smatch = seg_sum(col("smatch"))
+        ql = seg_opt(ql_c, np.maximum, 0)
+        qr = seg_opt(qr_c, np.maximum, 0)
+        e = seg_opt(col("e"), np.minimum, 1 << 30)
+        o = seg_opt(col("o"), np.minimum, 1 << 30)
+        bmin = seg_opt(col("b"), np.minimum, 1 << 30)
         sig = np.concatenate([b["signal"] for b in self._batches])
         sig_first = np.zeros(G, np.int64)
         rev = np.arange(ginv.size - 1, -1, -1)
         sig_first[ginv[rev]] = rev
+        # Bulk-decode one representative signal per group ([G, 4] codes
+        # -> 4-char strings in one LUT pass; signal is a pure function
+        # of the junction key, so any representative is exact).
+        from find_circ2_tpu.io.twobit import _BASE_LUT
+        sig_bytes = _BASE_LUT[sig[sig_first]].tobytes()
+        sig_l = [sig_bytes[4 * g:4 * g + 4].decode("ascii")
+                 for g in range(G)]
 
         # Distinct (junction, seq_hash) pairs across all batches.
-        pairs = np.concatenate([
-            np.stack([ginv[offs[i] + p[:, 0].astype(np.int64)],
-                      p[:, 1].astype(np.int64)], axis=1)
-            for i, p in enumerate(self._batch_pairs)])
-        pairs = np.unique(pairs, axis=0)
+        pairs = np.unique(np.stack(
+            [ginv.astype(np.int64), col("hash").view(np.int64)],
+            axis=1), axis=0)
         pj = pairs[:, 0]
         pb = np.searchsorted(pj, np.arange(G + 1))
 
         self._batches = []
         self._batch_pairs = []
+        # Bulk-convert once (python ints); per-element np scalar
+        # conversions dominated this loop at ~10k distinct junctions.
+        keys_l = list(map(tuple, guk.tolist()))
+        nb_l, bridges_l, smatch_l = nb.tolist(), bridges.tolist(), \
+            smatch.tolist()
+        ql_l, qr_l = ql.tolist(), qr.tolist()
+        e_l, o_l, b_l = e.tolist(), o.tolist(), bmin.tolist()
+        pb_l = pb.tolist()
+        ph_l = pairs[:, 1].astype(np.uint64).tolist()
+        junctions = self.junctions
         for g in range(G):
-            key = tuple(int(x) for x in guk[g])
-            agg = self.junctions.get(key)
+            key = keys_l[g]
+            agg = junctions.get(key)
             if agg is None:
-                agg = JunctionAgg(
+                # Fresh junction: construct with final accumulator
+                # values directly (the common case — one batch-path
+                # junction per key).
+                junctions[key] = JunctionAgg(
                     kind=key[0], chrom_idx=key[1], start=key[2],
                     end=key[3], sense=key[4],
-                    signal=codes_to_seq(sig[sig_first[g]]))
-                self.junctions[key] = agg
-            agg.n_reads += int(nb[g])
-            agg.seqs.update(pairs[pb[g]:pb[g + 1], 1]
-                            .astype(np.uint64).tolist())
-            agg.uniq_bridges += int(bridges[g])
-            agg.best_qual_left = max(agg.best_qual_left, int(ql[g]))
-            agg.best_qual_right = max(agg.best_qual_right, int(qr[g]))
-            agg.edits = min(agg.edits, int(e[g]))
-            agg.overlap = min(agg.overlap, int(o[g]))
-            agg.n_bp = min(agg.n_bp, int(bmin[g]))
-            agg.n_strand_match += int(smatch[g])
+                    signal=sig_l[g],
+                    n_reads=nb_l[g],
+                    seqs=set(ph_l[pb_l[g]:pb_l[g + 1]]),
+                    uniq_bridges=bridges_l[g],
+                    best_qual_left=ql_l[g], best_qual_right=qr_l[g],
+                    edits=e_l[g], overlap=o_l[g], n_bp=b_l[g],
+                    n_strand_match=smatch_l[g])
+                continue
+            agg.n_reads += nb_l[g]
+            agg.seqs.update(ph_l[pb_l[g]:pb_l[g + 1]])
+            agg.uniq_bridges += bridges_l[g]
+            agg.best_qual_left = max(agg.best_qual_left, ql_l[g])
+            agg.best_qual_right = max(agg.best_qual_right, qr_l[g])
+            agg.edits = min(agg.edits, e_l[g])
+            agg.overlap = min(agg.overlap, o_l[g])
+            agg.n_bp = min(agg.n_bp, b_l[g])
+            agg.n_strand_match += smatch_l[g]
 
     def merge_from(self, junctions: dict) -> None:
         """Fold another process's junction dict into this one — the

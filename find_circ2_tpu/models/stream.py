@@ -30,6 +30,82 @@ from find_circ2_tpu import native
 CHUNK = 16 << 20  # bytes per read(2) chunk
 
 
+class _RescuePool:
+    """One forked worker that runs the batched 2-mm rescue
+    (multihit.call_reads_multi_batch) off the critical path — the
+    pipeline's host-bound stages then overlap on a second core, the
+    way the reference overlapped bowtie2's threads with find_circ.py's
+    stream (SURVEY.md §3.1). Fork shares genome/index copy-on-write;
+    the child never touches jax. Any failure (no fork, crash, timeout)
+    permanently falls back to in-process calls — results are identical
+    either way, rescue batches are keyed and consumed in order."""
+
+    TIMEOUT_S = 120.0
+
+    def __init__(self, genome, index, cfg, prefilter: bool) -> None:
+        self.args = (genome, index, cfg, prefilter)
+        self.pool = None
+        try:
+            import multiprocessing as mp
+            ctx = mp.get_context("fork")
+            global _RESCUE_STATE
+            _RESCUE_STATE = self.args
+            self.pool = ctx.Pool(1)
+        except Exception:
+            self.pool = None
+
+    def submit(self, items):
+        if self.pool is None:
+            return items          # sync marker: compute at fetch time
+        try:
+            return self.pool.apply_async(_rescue_entry, (items,))
+        except Exception:
+            self._disable()
+            return items
+
+    def fetch(self, handle):
+        if isinstance(handle, list):  # sync marker
+            from find_circ2_tpu.models.multihit import \
+                call_reads_multi_batch
+            genome, index, cfg, prefilter = self.args
+            return call_reads_multi_batch(genome, index, handle, cfg,
+                                          prefilter)
+        try:
+            return handle.get(timeout=self.TIMEOUT_S)
+        except Exception:
+            # Worker died or hung: kill it, recompute inline, and stay
+            # inline for the rest of the run.
+            items = handle._fc2_items
+            self._disable()
+            return self.fetch(items)
+
+    def submit_tagged(self, items):
+        h = self.submit(items)
+        if not isinstance(h, list):
+            h._fc2_items = items
+        return h
+
+    def _disable(self) -> None:
+        if self.pool is not None:
+            try:
+                self.pool.terminate()
+            except Exception:
+                pass
+            self.pool = None
+
+    def close(self) -> None:
+        self._disable()
+
+
+_RESCUE_STATE = None
+
+
+def _rescue_entry(items):
+    genome, index, cfg, prefilter = _RESCUE_STATE
+    from find_circ2_tpu.models.multihit import call_reads_multi_batch
+    return call_reads_multi_batch(genome, index, items, cfg, prefilter)
+
+
 def _iter_records(path):
     """Yield (buffer, spans) chunks via the native FASTQ scanner."""
     opener = gzip.open if os.fspath(path).endswith(".gz") else open
@@ -56,7 +132,7 @@ def _iter_records(path):
 def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
               cfg: Config = Config(), prefilter: bool = True,
               batch_size: int | None = None, times=None,
-              pipeline_depth: int = 2, slowpath=None,
+              pipeline_depth: int = 4, slowpath=None,
               journal=None, revcomp: bool = False,
               explore: bool | None = None, dispatch=None,
               shard: tuple[int, int] | None = None, redo=None) -> None:
@@ -112,8 +188,14 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
     if explore:
         from find_circ2_tpu.models.pipeline import DeviceExplorer
         explorer = DeviceExplorer(dindex, cfg, prefilter)
+    rpool = None
+    if (slowpath is not None and cfg.rescue_anchor_mm >= 2
+            and journal is None):
+        rpool = _RescuePool(slowpath[0], slowpath[1], cfg, prefilter)
+        if rpool.pool is None:
+            rpool = None
     # Stage 2: batches whose routed reads await explore results.
-    # (batch_id, n_reads, counts, batch_calls, handle)
+    # (batch_id, n_reads, counts, batch_calls, handle, rhashes, rhandle)
     finishing: deque = deque()
 
     def timed(name):
@@ -121,8 +203,11 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
             else contextlib.nullcontext()
 
     def finalize() -> None:
-        batch_id, n_reads, counts, batch_calls, handle, rhashes = \
-            finishing.popleft()
+        batch_id, n_reads, counts, batch_calls, handle, rhashes, \
+            rhandle = finishing.popleft()
+        if rhandle is not None:
+            with timed("slowpath_rescue"):
+                batch_calls = batch_calls + rpool.fetch(rhandle)
         if handle is not None and rhashes is not None:
             # Array-mode explore results: vectorized aggregation via
             # add_batch (same hashes the detect rows used), statuses
@@ -275,16 +360,25 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
                         slowpath[0], slowpath[1], name, seq, cfg,
                         prefilter))
         ridx = np.nonzero(rescue)[0]
+        rhandle = None
         if ridx.size:
             # ONE vectorized host program for the whole batch's rescued
             # reads (models/multihit.call_reads_multi_batch) — the r4
-            # per-read loop cost ~5 ms/read, 91% of pipeline wall.
-            from find_circ2_tpu.models.multihit import \
-                call_reads_multi_batch
-            with timed("slowpath_rescue"):
-                items = [(read_name(i), read_seq(i)) for i in ridx]
-                batch_calls.extend(call_reads_multi_batch(
-                    slowpath[0], slowpath[1], items, cfg, prefilter))
+            # per-read loop cost ~5 ms/read, 91% of pipeline wall. With
+            # a rescue pool it runs in the forked worker, overlapping
+            # this loop's other stages; fetched one batch later in
+            # finalize.
+            items = [(read_name(i), read_seq(i)) for i in ridx]
+            if rpool is not None:
+                with timed("rescue_dispatch"):
+                    rhandle = rpool.submit_tagged(items)
+            else:
+                from find_circ2_tpu.models.multihit import \
+                    call_reads_multi_batch
+                with timed("slowpath_rescue"):
+                    batch_calls.extend(call_reads_multi_batch(
+                        slowpath[0], slowpath[1], items, cfg,
+                        prefilter))
         handle = None
         if rhashes is not None and ridx_route.size:
             with timed("explore_dispatch"):
@@ -296,10 +390,11 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
             with timed("explore_dispatch"):
                 handle = explorer.dispatch(routed)
         finishing.append((batch_id, int(sel.size), counts,
-                          batch_calls, handle, rhashes))
-        # Keep one explore-pending batch in flight so its program
-        # overlaps the next detect batch.
-        while len(finishing) > 1:
+                          batch_calls, handle, rhashes, rhandle))
+        # Keep explore-pending batches in flight so their programs (and
+        # the forked rescue worker) overlap later batches' host work —
+        # same depth as the detect pipeline.
+        while len(finishing) > pipeline_depth:
             finalize()
 
     def process(buf: bytes, spans: np.ndarray) -> None:
@@ -360,14 +455,18 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
 
     # The chunk iterator (file read + gzip + native FASTQ scan) is timed
     # as its own stage so I/O cost can't hide in the wall residual.
-    it = _iter_records(path)
-    while True:
-        with timed("read_parse"):
-            item = next(it, None)
-        if item is None:
-            break
-        process(*item)
-    while inflight:
-        consume()
-    while finishing:
-        finalize()
+    try:
+        it = _iter_records(path)
+        while True:
+            with timed("read_parse"):
+                item = next(it, None)
+            if item is None:
+                break
+            process(*item)
+        while inflight:
+            consume()
+        while finishing:
+            finalize()
+    finally:
+        if rpool is not None:
+            rpool.close()

@@ -108,8 +108,11 @@ def renumber(rows: list[JunctionRow], prefix: str) -> list[JunctionRow]:
     (SPEC.md §5); the kind is read from the category flags. Names are
     assigned IN PLACE (every caller passes freshly built rows; a
     dataclasses.replace per row dominated the final-table stage).
+    The category string breaks exact (chrom,start,end,strand) ties —
+    e.g. a circular and a linear junction sharing coordinates — so row
+    order never depends on aggregation-dict insertion order.
     """
-    rows = sorted(rows, key=JunctionRow.key)
+    rows = sorted(rows, key=lambda r: (*r.key(), r.category))
     counters = {"circ": 0, "norm": 0}
     for row in rows:
         kind = "circ" if "CIRCULAR" in row.category.split(",") else "norm"

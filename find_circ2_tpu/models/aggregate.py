@@ -223,9 +223,29 @@ class Aggregator:
         def col(field):
             return np.concatenate([b[field] for b in self._batches])
 
-        allk = np.stack([col("kind"), col("chrom"), col("start"),
-                         col("end"), col("sense")], axis=1)
-        guk, ginv = np.unique(allk, axis=0, return_inverse=True)
+        # Group-by over the 5-part junction key, packed into two int64
+        # words + one stable lexsort (np.unique(axis=0)'s void-view
+        # sort cost ~half the final-table stage). Group ORDER differs
+        # from unique's row-lexicographic order, which is immaterial:
+        # junctions land in a dict and rows() renumbers by the frozen
+        # sort key. kind/sense are 1 bit, chrom_idx < 2^28, global
+        # start/end < 2^33 (uint32 + gaps).
+        kind_c, chrom_c = col("kind"), col("chrom")
+        start_c, end_c, sense_c = col("start"), col("end"), col("sense")
+        k1 = ((kind_c << 62) | (sense_c << 61) | (chrom_c << 33)
+              | start_c)
+        k2 = end_c
+        N = k1.size
+        order = np.lexsort((k2, k1))
+        k1s, k2s = k1[order], k2[order]
+        newg = np.empty(N, bool)
+        newg[0] = True
+        newg[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
+        ginv = np.empty(N, np.int64)
+        ginv[order] = np.cumsum(newg) - 1
+        rep = order[newg]               # first original row per group
+        guk = np.stack([kind_c[rep], chrom_c[rep], start_c[rep],
+                        end_c[rep], sense_c[rep]], axis=1)
         G = guk.shape[0]
 
         def seg_sum(v):
@@ -249,22 +269,23 @@ class Aggregator:
         o = seg_opt(col("o"), np.minimum, 1 << 30)
         bmin = seg_opt(col("b"), np.minimum, 1 << 30)
         sig = np.concatenate([b["signal"] for b in self._batches])
-        sig_first = np.zeros(G, np.int64)
-        rev = np.arange(ginv.size - 1, -1, -1)
-        sig_first[ginv[rev]] = rev
         # Bulk-decode one representative signal per group ([G, 4] codes
         # -> 4-char strings in one LUT pass; signal is a pure function
         # of the junction key, so any representative is exact).
         from find_circ2_tpu.io.twobit import _BASE_LUT
-        sig_bytes = _BASE_LUT[sig[sig_first]].tobytes()
+        sig_bytes = _BASE_LUT[sig[rep]].tobytes()
         sig_l = [sig_bytes[4 * g:4 * g + 4].decode("ascii")
                  for g in range(G)]
 
-        # Distinct (junction, seq_hash) pairs across all batches.
-        pairs = np.unique(np.stack(
-            [ginv.astype(np.int64), col("hash").view(np.int64)],
-            axis=1), axis=0)
-        pj = pairs[:, 0]
+        # Distinct (junction, seq_hash) pairs across all batches:
+        # stable lexsort + adjacent-dedupe, sorted by group id.
+        h = col("hash").view(np.int64)
+        po = np.lexsort((h, ginv))
+        gs, hs = ginv[po], h[po]
+        keep = np.empty(N, bool)
+        keep[0] = True
+        keep[1:] = (gs[1:] != gs[:-1]) | (hs[1:] != hs[:-1])
+        pj, ph = gs[keep], hs[keep]
         pb = np.searchsorted(pj, np.arange(G + 1))
 
         self._batches = []
@@ -277,7 +298,7 @@ class Aggregator:
         ql_l, qr_l = ql.tolist(), qr.tolist()
         e_l, o_l, b_l = e.tolist(), o.tolist(), bmin.tolist()
         pb_l = pb.tolist()
-        ph_l = pairs[:, 1].astype(np.uint64).tolist()
+        ph_l = ph.astype(np.uint64).tolist()
         junctions = self.junctions
         for g in range(G):
             key = keys_l[g]

@@ -254,7 +254,7 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
             agg.add(call)
 
     def consume() -> None:
-        batch_id, buf, spans, sel, packed, hashes, arr, blens = \
+        batch_id, buf, spans, sel, packed, arr, blens = \
             inflight.popleft()
         with timed("device_detect"):
             res = unpack_results(np.asarray(packed))
@@ -314,12 +314,20 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
             routed: list[tuple[str, str]] = []
             ridx_route = np.nonzero(route)[0]
             jidx = np.nonzero((status == ST_JUNCTION) & ~route)[0]
+            rhashes = None
             if journal is None:
+                # n_uniq hashes, lazily and only for rows that need
+                # them (junction + routed; typically a fraction of the
+                # batch — full-batch hashing cost ~5 ms/batch).
+                need = np.concatenate([jidx, ridx_route])
+                hh = seq_hash_batch(arr[need]) if need.size else \
+                    np.empty(0, np.uint64)
                 # Vectorized junction aggregation: one update per
                 # distinct junction, no per-read ReadCall objects —
                 # journal runs keep the per-read path below so replay
                 # records stay complete.
-                agg.add_batch(res, jidx, hashes[jidx])
+                agg.add_batch(res, jidx, hh[:jidx.size])
+                rhashes = hh[jidx.size:]
                 jidx = jidx[:0]
             for i in jidx:
                 batch_calls.append(ReadCall(
@@ -338,14 +346,15 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
                     qual_right=int(res["qual_right"][i]),
                     signal=codes_to_seq(res["signal"][i]),
                 ))
-        rhashes = None
         if explorer is not None and journal is None:
             # Array-mode explore: reuse the batch's encoded rows and
-            # their precomputed hashes — the finalize stage aggregates
-            # the unpacked result arrays directly (add_batch), no
-            # per-read string decode / ReadCall / scalar seq_hash.
-            rhashes = hashes[ridx_route]
+            # the lazily computed hashes above — the finalize stage
+            # aggregates the unpacked result arrays directly
+            # (add_batch), no per-read string decode / ReadCall /
+            # scalar seq_hash.
+            pass
         else:
+            rhashes = None
             for i in ridx_route:
                 name, seq = read_name(i), read_seq(i)
                 # SPEC §2b multi-hit pair exploration: device program
@@ -446,9 +455,7 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
                     packed.copy_to_host_async()
                 except AttributeError:
                     pass
-            with timed("encode"):
-                hashes = seq_hash_batch(arr)
-            inflight.append((batch_id, buf, spans, sel, packed, hashes,
+            inflight.append((batch_id, buf, spans, sel, packed,
                              arr, lens))
             if len(inflight) > pipeline_depth:
                 consume()

@@ -195,7 +195,8 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
         if rpool.pool is None:
             rpool = None
     # Stage 2: batches whose routed reads await explore results.
-    # (batch_id, n_reads, counts, batch_calls, handle, rhashes, rhandle)
+    # (batch_id, n_reads, counts, batch_calls, explore_handle, rhashes,
+    #  rescue_handle, multihit_handle)
     finishing: deque = deque()
 
     def timed(name):
@@ -204,10 +205,13 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
 
     def finalize() -> None:
         batch_id, n_reads, counts, batch_calls, handle, rhashes, \
-            rhandle = finishing.popleft()
+            rhandle, mhandle = finishing.popleft()
         if rhandle is not None:
             with timed("slowpath_rescue"):
                 batch_calls = batch_calls + rpool.fetch(rhandle)
+        if mhandle is not None:
+            with timed("slowpath_multihit"):
+                batch_calls = batch_calls + rpool.fetch(mhandle)
         if handle is not None and rhashes is not None:
             # Array-mode explore results: vectorized aggregation via
             # add_batch (same hashes the detect rows used), statuses
@@ -346,6 +350,7 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
                     qual_right=int(res["qual_right"][i]),
                     signal=codes_to_seq(res["signal"][i]),
                 ))
+        mhandle = None
         if explorer is not None and journal is None:
             # Array-mode explore: reuse the batch's encoded rows and
             # the lazily computed hashes above — the finalize stage
@@ -353,21 +358,33 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
             # (add_batch), no per-read string decode / ReadCall /
             # scalar seq_hash.
             pass
-        else:
+        elif explorer is not None:
             rhashes = None
             for i in ridx_route:
-                name, seq = read_name(i), read_seq(i)
-                # SPEC §2b multi-hit pair exploration: device program
-                # (ops/explore.py) or the vectorized host twin
-                # (models/multihit.py).
-                if explorer is not None:
-                    routed.append((name, seq))
-                    continue
-                from find_circ2_tpu.models.multihit import call_read_multi
-                with timed("slowpath_multihit"):
-                    batch_calls.append(call_read_multi(
-                        slowpath[0], slowpath[1], name, seq, cfg,
-                        prefilter))
+                # SPEC §2b multi-hit pair exploration on the device
+                # program (ops/explore.py), per-read ReadCalls for the
+                # journal's replay records.
+                routed.append((read_name(i), read_seq(i)))
+        else:
+            # No device explore program (sharded engines: the collective
+            # step has no §2b twin) — run the vectorized host twin
+            # batched over ALL routed reads (models/multihit.
+            # call_reads_multi_batch == batched call_read_multi), async
+            # via the rescue worker when one exists.
+            rhashes = None
+            if ridx_route.size:
+                items = [(read_name(i), read_seq(i))
+                         for i in ridx_route]
+                if rpool is not None:
+                    with timed("rescue_dispatch"):
+                        mhandle = rpool.submit_tagged(items)
+                else:
+                    from find_circ2_tpu.models.multihit import \
+                        call_reads_multi_batch
+                    with timed("slowpath_multihit"):
+                        batch_calls.extend(call_reads_multi_batch(
+                            slowpath[0], slowpath[1], items, cfg,
+                            prefilter))
         ridx = np.nonzero(rescue)[0]
         rhandle = None
         if ridx.size:
@@ -399,7 +416,8 @@ def run_fastq(dindex: DeviceIndex | None, path, agg: Aggregator,
             with timed("explore_dispatch"):
                 handle = explorer.dispatch(routed)
         finishing.append((batch_id, int(sel.size), counts,
-                          batch_calls, handle, rhashes, rhandle))
+                          batch_calls, handle, rhashes, rhandle,
+                          mhandle))
         # Keep explore-pending batches in flight so their programs (and
         # the forked rescue worker) overlap later batches' host work —
         # same depth as the detect pipeline.

@@ -172,6 +172,47 @@ def test_run_fastq_array_explore_matches_run_reads(lib_ok, tmp_path):
     assert stats1 == stats2
 
 
+def test_rescue_pool_timeout_falls_back_inline(lib_ok):
+    """A hung/slow rescue worker must not corrupt results: fetch times
+    out, kills the pool, recomputes inline, and the pool stays disabled
+    for the rest of the run — outputs identical to the sync path."""
+    from find_circ2_tpu.config import Config
+    from find_circ2_tpu.index.build import build_index
+    from find_circ2_tpu.models.multihit import call_reads_multi_batch
+    from find_circ2_tpu.models.stream import _RescuePool
+    from find_circ2_tpu.utils.simulate import simulate
+
+    cfg = Config()
+    sim = simulate(seed=61, n_circ=5, n_linear=3, reads_per_junction=4,
+                   n_contiguous=5, n_random=5, err_rate=0.3)
+    idx = build_index(sim.genome, cfg)
+    items = [(n, s) for n, s in sim.reads
+             if 2 * cfg.anchor_len <= len(s) <= cfg.max_read_len][:20]
+    want = call_reads_multi_batch(sim.genome, idx, items, cfg, True)
+
+    pool = _RescuePool(sim.genome, idx, cfg, True)
+    try:
+        # The worker path itself first (sanity).
+        if pool.pool is not None:
+            assert pool.fetch(pool.submit_tagged(items)) == want
+
+        class HungHandle:                    # deterministic "hung worker"
+            _fc2_items = items
+
+            def get(self, timeout=None):
+                raise TimeoutError
+
+        got = pool.fetch(HungHandle())
+        assert pool.pool is None            # permanently disabled
+        assert got == want                  # recomputed inline
+        # Subsequent submits run inline and stay correct.
+        h2 = pool.submit_tagged(items)
+        assert isinstance(h2, list)
+        assert pool.fetch(h2) == want
+    finally:
+        pool.close()
+
+
 def test_run_fastq_journal_resume_and_gzip(lib_ok, tmp_path):
     """Fast-path resume (SPEC journal on the native path) + gzip input:
     a run killed mid-stream and rerun from its journal must produce
